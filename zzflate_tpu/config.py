@@ -1,0 +1,71 @@
+"""Codec configuration: compression levels -> matcher effort.
+
+Mirrors the level semantics of the reference-class codec (zlib's
+configuration_table shape, SURVEY.md Appendix B): `chain` bounds how many
+match candidates are examined per position (our candidate-K), `lazy` is the
+max current-match length that may still be deferred, `nice` stops searching
+/ always commits, `good` halves the effort after a good match (advisory in
+the TPU design: candidate count is a static kernel parameter).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+DEFAULT_CHUNK_BYTES = 1 << 18  # 256 KiB window-aligned shards
+WINDOW_BYTES = 1 << 15
+
+
+@dataclasses.dataclass(frozen=True)
+class LevelParams:
+    level: int
+    lazy_mode: bool  # False = greedy commit, True = one-byte-defer
+    good: int
+    max_lazy: int
+    nice: int
+    chain: int
+    # TPU kernel parameter: number of sorted-neighbor candidates scored per
+    # position. Chain-walks beyond ~16 hit diminishing returns because the
+    # sort already orders candidates by recency (closest-first).
+    candidates: int
+
+
+# level -> params; level 0 is stored-only (handled in the container layer).
+LEVELS: dict[int, LevelParams] = {
+    1: LevelParams(1, False, 4, 4, 8, 4, 2),
+    2: LevelParams(2, False, 4, 5, 16, 8, 2),
+    3: LevelParams(3, False, 4, 6, 32, 32, 4),
+    4: LevelParams(4, True, 4, 4, 16, 16, 4),
+    5: LevelParams(5, True, 8, 16, 32, 32, 4),
+    6: LevelParams(6, True, 8, 16, 128, 128, 8),
+    7: LevelParams(7, True, 8, 32, 128, 256, 8),
+    8: LevelParams(8, True, 32, 128, 258, 1024, 12),
+    9: LevelParams(9, True, 32, 258, 258, 4096, 16),
+}
+
+# Encoding strategies (zlib.h:196-200 contract).
+STRATEGY_DEFAULT = 0
+STRATEGY_FILTERED = 1
+STRATEGY_HUFFMAN_ONLY = 2
+STRATEGY_RLE = 3
+STRATEGY_FIXED = 4
+
+
+@dataclasses.dataclass(frozen=True)
+class CodecConfig:
+    level: int = 6
+    format: str = "zlib"  # zlib | gzip | raw
+    chunk_bytes: int = DEFAULT_CHUNK_BYTES
+    window_bits: int = 15
+    strategy: int = STRATEGY_DEFAULT
+
+    def __post_init__(self):
+        if self.level not in range(0, 10):
+            raise ValueError(f"level must be 0..9, got {self.level}")
+        if self.format not in ("zlib", "gzip", "raw"):
+            raise ValueError(f"unknown format {self.format!r}")
+        if not 8 <= self.window_bits <= 15:
+            raise ValueError("window_bits must be 8..15")
+
+    @property
+    def params(self) -> LevelParams:
+        return LEVELS[max(1, self.level)]

@@ -1,0 +1,314 @@
+"""The jittable per-chunk DEFLATE block encoder — the flagship compute graph.
+
+One call encodes one window-aligned chunk (with an optional 32 KiB
+dictionary prefix) into a complete deflate block bitstream:
+
+    match-find -> pointer-doubling parse -> per-position symbol fields ->
+    masked histograms -> in-jit Huffman (dynamic) -> CL-RLE header ->
+    fixed-vs-dynamic cost choice -> prefix-sum scatter bit-pack
+
+Everything is static-shaped; tokens are never compacted — every input
+position carries up to four (value, nbits) fields with nbits=0 when absent,
+so the committed-token mask flows straight into the bit-packer's prefix sum
+(SURVEY.md section 3.5's encode stack). The reference-class call stack this
+replaces is SURVEY.md section 3.1 (compress -> LZ77 scan -> histogram ->
+build trees -> emit), reorganized from a byte-serial loop into a dozen
+data-parallel array passes.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zzflate_tpu import constants as C
+from zzflate_tpu.config import LevelParams
+from zzflate_tpu.ops import bitpack, huffman, matcher
+
+_CL_SLOTS = 340  # >= 286+30 RLE symbols + slack
+
+_FIXED_LL_LEN = C.fixed_litlen_lengths()
+_FIXED_LL_CODE = C.bit_reverse(
+    C.canonical_codes(_FIXED_LL_LEN), _FIXED_LL_LEN
+).astype(np.uint32)
+_FIXED_D_LEN = C.fixed_dist_lengths()
+_FIXED_D_CODE = C.bit_reverse(
+    C.canonical_codes(_FIXED_D_LEN), _FIXED_D_LEN
+).astype(np.uint32)
+
+
+def _cl_rle(combined: jax.Array, total: jax.Array):
+    """RLE-encode the transmitted code-length array (RFC 1951 3.2.7).
+
+    combined: (316,) int32 lengths (entries >= total are ignored).
+    Returns (syms, extra_val, extra_bits, count): (_CL_SLOTS,) arrays + ptr.
+    """
+    n_in = combined.shape[0]
+
+    def get(i):
+        return combined[jnp.clip(i, 0, n_in - 1)]
+
+    def body(i, state):
+        prevlen, count, ptr, syms, ev, eb = state
+        active = i < total
+        curlen = get(i)
+        nextlen = jnp.where(i + 1 < total, get(i + 1), -1)
+        count = count + jnp.where(active, 1, 0)
+        maxc = jnp.where(curlen == 0, 138, 6)
+        cont = active & (curlen == nextlen) & (count < maxc)
+        flush = active & ~cont
+
+        is_zero = curlen == 0
+        emit_cur = flush & ~is_zero & (curlen != prevlen)
+        r = count - jnp.where(emit_cur, 1, 0)
+        use16 = flush & ~is_zero & (r >= 3)
+        use18 = flush & is_zero & (count >= 11)
+        use17 = flush & is_zero & (count >= 3) & ~use18
+        rep = use16 | use17 | use18
+        lit_reps = jnp.where(
+            flush & ~rep, jnp.where(is_zero, count, r), 0
+        )
+
+        # Slot A: the literal curlen announcing a new value.
+        pa = jnp.where(emit_cur, ptr, _CL_SLOTS)
+        syms = syms.at[pa].set(curlen, mode="drop")
+        ptr = ptr + jnp.where(emit_cur, 1, 0)
+        # Slot B: repeat symbol, or first literal repetition.
+        wb = rep | (lit_reps >= 1)
+        pb = jnp.where(wb, ptr, _CL_SLOTS)
+        sym_b = jnp.where(
+            use16, 16, jnp.where(use17, 17, jnp.where(use18, 18, curlen))
+        )
+        ev_b = jnp.where(
+            use16, r - 3, jnp.where(use17, count - 3, jnp.where(use18, count - 11, 0))
+        )
+        eb_b = jnp.where(use16, 2, jnp.where(use17, 3, jnp.where(use18, 7, 0)))
+        syms = syms.at[pb].set(sym_b, mode="drop")
+        ev = ev.at[pb].set(ev_b, mode="drop")
+        eb = eb.at[pb].set(eb_b, mode="drop")
+        ptr = ptr + jnp.where(wb, 1, 0)
+        # Slot C: second literal repetition.
+        wc = lit_reps >= 2
+        pc = jnp.where(wc, ptr, _CL_SLOTS)
+        syms = syms.at[pc].set(curlen, mode="drop")
+        ptr = ptr + jnp.where(wc, 1, 0)
+
+        prevlen = jnp.where(flush, curlen, prevlen)
+        count = jnp.where(flush, 0, count)
+        return prevlen, count, ptr, syms, ev, eb
+
+    init = (
+        jnp.int32(-1),
+        jnp.int32(0),
+        jnp.int32(0),
+        jnp.zeros((_CL_SLOTS,), jnp.int32),
+        jnp.zeros((_CL_SLOTS,), jnp.int32),
+        jnp.zeros((_CL_SLOTS,), jnp.int32),
+    )
+    _, _, ptr, syms, ev, eb = jax.lax.fori_loop(0, n_in, body, init)
+    return syms, ev, eb, ptr
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("params", "out_words", "huffman_only", "fixed_only"),
+)
+def encode_chunk(
+    data: jax.Array,
+    start: jax.Array,
+    valid_end: jax.Array,
+    window_start: jax.Array,
+    bfinal: jax.Array,
+    params: LevelParams,
+    out_words: int,
+    huffman_only: bool = False,
+    fixed_only: bool = False,
+):
+    """Encode data[start:valid_end] as one deflate block (BFINAL=bfinal).
+
+    data[window_start:start] is dictionary/halo context (match sources
+    only); bytes outside [window_start, valid_end) are padding.
+
+    Returns dict with words (uint32 buffer), nbits, ntokens, cost_fixed,
+    cost_dynamic (all device scalars/arrays).
+    """
+    n = data.shape[0]
+    pos = jnp.arange(n, dtype=jnp.int32)
+
+    if huffman_only:
+        mlen = jnp.zeros((n,), jnp.int32)
+        mdist = jnp.zeros((n,), jnp.int32)
+    else:
+        mlen, mdist = matcher.find_matches(
+            data, valid_end, window_start, params.candidates
+        )
+    committed, take = matcher.parse_commit(
+        mlen,
+        mdist,
+        start,
+        valid_end,
+        lazy=params.lazy_mode,
+        max_lazy=params.max_lazy,
+        nice=params.nice,
+    )
+    is_match = take
+    is_lit = committed & ~take
+
+    # Per-position symbols.
+    lcode = jnp.take(
+        jnp.asarray(C.LENGTH_TO_CODE), jnp.clip(mlen, 0, C.MAX_MATCH), mode="clip"
+    )
+    dcode = (
+        jnp.searchsorted(
+            jnp.asarray(C.DIST_BASE), jnp.maximum(mdist, 1), side="right"
+        ).astype(jnp.int32)
+        - 1
+    )
+    litlen_sym = jnp.where(is_match, 257 + lcode, data.astype(jnp.int32))
+
+    # Histograms (EOB counted once; small alphabets forced to >=2 used
+    # symbols / >=1 dist code so decoders always see a sane tree).
+    freq_ll = huffman.histogram(litlen_sym, committed, C.NUM_LITLEN_SYMBOLS)
+    freq_ll = freq_ll.at[C.END_OF_BLOCK].add(1)
+    freq_d = huffman.histogram(dcode, is_match, C.NUM_DIST_SYMBOLS)
+    used_ll = jnp.sum((freq_ll > 0).astype(jnp.int32))
+    freq_ll = freq_ll.at[0].set(
+        jnp.maximum(freq_ll[0], (used_ll < 2).astype(jnp.int32))
+    )
+    used_d = jnp.sum((freq_d > 0).astype(jnp.int32))
+    freq_d = freq_d.at[0].set(
+        jnp.maximum(freq_d[0], (used_d < 1).astype(jnp.int32))
+    )
+    used_d2 = jnp.sum((freq_d > 0).astype(jnp.int32))
+    freq_d = freq_d.at[1].set(
+        jnp.maximum(freq_d[1], (used_d2 < 2).astype(jnp.int32))
+    )
+
+    # Dynamic trees.
+    ll_len_dyn = huffman.code_lengths(freq_ll, C.MAX_CODE_BITS)
+    d_len_dyn = huffman.code_lengths(freq_d, C.MAX_CODE_BITS)
+    ll_code_dyn = huffman.canonical_codes(ll_len_dyn, C.MAX_CODE_BITS)
+    d_code_dyn = huffman.canonical_codes(d_len_dyn, C.MAX_CODE_BITS)
+
+    # Transmitted-lengths array and its RLE.
+    sym286 = jnp.arange(286, dtype=jnp.int32)
+    hlit = jnp.maximum(257, 1 + jnp.max(jnp.where(ll_len_dyn[:286] > 0, sym286, -1)))
+    sym30 = jnp.arange(30, dtype=jnp.int32)
+    hdist = jnp.maximum(1, 1 + jnp.max(jnp.where(d_len_dyn[:30] > 0, sym30, -1)))
+    idx316 = jnp.arange(316, dtype=jnp.int32)
+    combined = jnp.where(
+        idx316 < hlit,
+        jnp.take(ll_len_dyn, jnp.clip(idx316, 0, 285), mode="clip"),
+        jnp.take(d_len_dyn, jnp.clip(idx316 - hlit, 0, 29), mode="clip"),
+    )
+    total_cl = hlit + hdist
+    cl_syms, cl_ev, cl_eb, cl_count = _cl_rle(combined, total_cl)
+    cl_slot_valid = jnp.arange(_CL_SLOTS) < cl_count
+
+    freq_cl = huffman.histogram(cl_syms, cl_slot_valid, C.NUM_CL_SYMBOLS)
+    cl_len = huffman.code_lengths(freq_cl, C.MAX_CL_CODE_BITS)
+    cl_code = huffman.canonical_codes(cl_len, C.MAX_CL_CODE_BITS)
+
+    cl_order = jnp.asarray(C.CL_ORDER)
+    perm_len = cl_len[cl_order]  # lengths in transmission order
+    j19 = jnp.arange(19, dtype=jnp.int32)
+    hclen = jnp.maximum(4, 1 + jnp.max(jnp.where(perm_len > 0, j19, -1)))
+
+    # Costs (extra bits are common to both block types).
+    ll_len_fix = jnp.asarray(_FIXED_LL_LEN)
+    d_len_fix = jnp.asarray(_FIXED_D_LEN)
+    body_dyn = jnp.sum(freq_ll * ll_len_dyn) + jnp.sum(freq_d * d_len_dyn)
+    body_fix = jnp.sum(freq_ll * ll_len_fix) + jnp.sum(freq_d * d_len_fix)
+    hdr_dyn = (
+        14
+        + 3 * hclen
+        + jnp.sum(
+            jnp.where(cl_slot_valid, cl_len[jnp.clip(cl_syms, 0, 18)] + cl_eb, 0)
+        )
+    )
+    extra_bits_total = jnp.sum(
+        jnp.where(
+            is_match,
+            jnp.take(jnp.asarray(C.LENGTH_EXTRA), lcode, mode="clip")
+            + jnp.take(jnp.asarray(C.DIST_EXTRA), jnp.clip(dcode, 0, 29), mode="clip"),
+            0,
+        )
+    )
+    cost_dyn = 3 + hdr_dyn + body_dyn + extra_bits_total
+    cost_fix = 3 + body_fix + extra_bits_total
+    if fixed_only:
+        use_dyn = jnp.bool_(False)
+    else:
+        use_dyn = cost_dyn < cost_fix
+
+    ll_len = jnp.where(use_dyn, ll_len_dyn, ll_len_fix)
+    ll_code_sel = jnp.where(use_dyn, ll_code_dyn, jnp.asarray(_FIXED_LL_CODE))
+    d_len = jnp.where(use_dyn, d_len_dyn, d_len_fix)
+    d_code_sel = jnp.where(use_dyn, d_code_dyn, jnp.asarray(_FIXED_D_CODE))
+    dyn_mask = use_dyn.astype(jnp.int32)
+
+    # ---- Field stream assembly ----
+    # Header: BFINAL, BTYPE, [HLIT, HDIST, HCLEN, 19 CL lens, RLE stream].
+    hdr_vals = [bfinal.astype(jnp.uint32), jnp.where(use_dyn, 2, 1).astype(jnp.uint32)]
+    hdr_bits = [jnp.int32(1), jnp.int32(2)]
+    for v, b in (
+        ((hlit - 257).astype(jnp.uint32), 5),
+        ((hdist - 1).astype(jnp.uint32), 5),
+        ((hclen - 4).astype(jnp.uint32), 4),
+    ):
+        hdr_vals.append(v)
+        hdr_bits.append(jnp.int32(b) * dyn_mask)
+    hdr_v = jnp.stack(hdr_vals)
+    hdr_b = jnp.stack(hdr_bits)
+
+    clh_v = perm_len.astype(jnp.uint32)
+    clh_b = jnp.where(j19 < hclen, 3, 0) * dyn_mask
+
+    cl_sym_safe = jnp.clip(cl_syms, 0, 18)
+    rle_code_v = cl_code[cl_sym_safe]
+    rle_code_b = jnp.where(cl_slot_valid, cl_len[cl_sym_safe], 0) * dyn_mask
+    rle_ex_v = cl_ev.astype(jnp.uint32)
+    rle_ex_b = jnp.where(cl_slot_valid, cl_eb, 0) * dyn_mask
+    rle_v = jnp.stack([rle_code_v, rle_ex_v], axis=1).reshape(-1)
+    rle_b = jnp.stack([rle_code_b, rle_ex_b], axis=1).reshape(-1)
+
+    # Tokens: per position [litlen code, len extra, dist code, dist extra].
+    lsym_safe = jnp.clip(litlen_sym, 0, C.NUM_LITLEN_SYMBOLS - 1)
+    dsym_safe = jnp.clip(dcode, 0, C.NUM_DIST_SYMBOLS - 1)
+    f0_v = ll_code_sel[lsym_safe]
+    f0_b = jnp.where(committed, ll_len[lsym_safe], 0)
+    lext = jnp.take(jnp.asarray(C.LENGTH_EXTRA), lcode, mode="clip")
+    lbase = jnp.take(jnp.asarray(C.LENGTH_BASE), lcode, mode="clip")
+    f1_v = (mlen - lbase).astype(jnp.uint32)
+    f1_b = jnp.where(is_match, lext, 0)
+    f2_v = d_code_sel[dsym_safe]
+    f2_b = jnp.where(is_match, d_len[dsym_safe], 0)
+    dext = jnp.take(jnp.asarray(C.DIST_EXTRA), dsym_safe, mode="clip")
+    dbase = jnp.take(jnp.asarray(C.DIST_BASE), dsym_safe, mode="clip")
+    f3_v = (mdist - dbase).astype(jnp.uint32)
+    f3_b = jnp.where(is_match, dext, 0)
+    tok_v = jnp.stack([f0_v, f1_v, f2_v, f3_v], axis=1).reshape(-1)
+    tok_b = jnp.stack([f0_b, f1_b, f2_b, f3_b], axis=1).reshape(-1)
+
+    eob_v = ll_code_sel[C.END_OF_BLOCK][None]
+    eob_b = ll_len[C.END_OF_BLOCK][None]
+
+    values = jnp.concatenate([hdr_v, clh_v, rle_v, tok_v, eob_v])
+    nbits = jnp.concatenate([hdr_b, clh_b, rle_b, tok_b, eob_b]).astype(jnp.int32)
+
+    words, total_bits = bitpack.pack_fields(values, nbits, out_words)
+    return {
+        "words": words,
+        "nbits": total_bits,
+        "ntokens": jnp.sum(committed.astype(jnp.int32)),
+        "cost_fixed": cost_fix,
+        "cost_dynamic": cost_dyn,
+        "used_dynamic": use_dyn,
+    }
+
+
+def output_words_bound(chunk_bytes: int) -> int:
+    """u32 buffer size: fixed-tree worst case is < 9.4 bits/byte + header."""
+    return (chunk_bytes * 10 + 65536) // 32

@@ -1,0 +1,64 @@
+"""LSB-first bitstream packing as a prefix-sum + scatter (no serial loop).
+
+The reference-class codec packs codes with a sequential bit-buffer
+(SURVEY.md C1: write_bits/flush_to_byte). Here the whole block becomes one
+field stream [(value, nbits), ...] with nbits=0 meaning "absent" (which is
+how conditional fields — dynamic header present/absent, literal vs match —
+are expressed without dynamic shapes). An exclusive prefix sum of nbits
+gives each field its absolute bit offset; every field is <= 16 bits so it
+touches at most two little-endian u32 words, written with two scatter-adds
+(disjoint bit ranges make add == or).
+
+Bit order: DEFLATE packs LSB-first within each byte (SURVEY.md A.1), so
+stream bit i lands in u32 word i>>5 at bit i&31 when words are serialized
+little-endian — values can be OR-shifted in directly. Huffman codes must be
+pre-bit-reversed (ops/huffman.canonical_codes already returns them so).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("out_words",))
+def pack_fields(values: jax.Array, nbits: jax.Array, out_words: int):
+    """Pack a field stream into a little-endian u32 word buffer.
+
+    Args:
+      values: (F,) uint32 field values (low `nbits` bits are emitted).
+      nbits: (F,) int32 bit widths, 0..16; 0 fields are skipped.
+      out_words: static output buffer size in u32 words.
+
+    Returns:
+      (words, total_bits): (out_words,) uint32 and scalar int32. If
+      total_bits > 32*out_words the buffer content is unspecified (the
+      caller falls back to a stored block).
+    """
+    nbits = nbits.astype(jnp.int32)
+    values = values.astype(jnp.uint32) & ((jnp.uint32(1) << nbits.astype(jnp.uint32)) - 1)
+    offsets = jnp.cumsum(nbits) - nbits  # exclusive prefix sum
+    total_bits = offsets[-1] + nbits[-1] if nbits.shape[0] else jnp.int32(0)
+
+    word_idx = (offsets >> 5).astype(jnp.int32)
+    bit_idx = (offsets & 31).astype(jnp.uint32)
+    lo = values << bit_idx
+    # val >> (32 - b) is UB at b=0; two-step shift keeps it defined.
+    hi = (values >> (jnp.uint32(31) - bit_idx)) >> jnp.uint32(1)
+
+    present = nbits > 0
+    wi_lo = jnp.where(present, word_idx, out_words)
+    wi_hi = jnp.where(present & (hi != 0), word_idx + 1, out_words)
+    words = jnp.zeros((out_words,), jnp.uint32)
+    words = words.at[wi_lo].add(lo, mode="drop")
+    words = words.at[wi_hi].add(hi, mode="drop")
+    return words, total_bits
+
+
+def words_to_bytes(words, total_bits: int) -> bytes:
+    """Serialize the packed words to the byte stream (host)."""
+    import numpy as np
+
+    nbytes = (int(total_bits) + 7) // 8
+    return np.asarray(words, dtype="<u4").tobytes()[:nbytes]

@@ -1,0 +1,118 @@
+"""zlib / gzip / raw container framing (host-side bytes).
+
+Byte layouts verified against zlib 1.2.13 output (SURVEY.md A.1). Container
+framing is O(bytes-moved) host work by design — the compute-heavy deflate
+payload comes from the device encoder.
+"""
+from __future__ import annotations
+
+import struct
+
+from zzflate_tpu.ops.checksums import adler32_combine, crc32_combine
+
+ZLIB_FLEVEL = {0: 0, 1: 0, 2: 1, 3: 1, 4: 1, 5: 1, 6: 2, 7: 3, 8: 3, 9: 3}
+
+
+def zlib_header(level: int, dictid: int | None = None) -> bytes:
+    cmf = 0x78  # CM=8 (deflate), CINFO=7 (32 KiB window)
+    flg = ZLIB_FLEVEL.get(level, 2) << 6
+    if dictid is not None:
+        flg |= 0x20
+    rem = (cmf * 256 + flg) % 31
+    if rem:
+        flg += 31 - rem
+    out = bytes([cmf, flg])
+    if dictid is not None:
+        out += struct.pack(">I", dictid & 0xFFFFFFFF)
+    return out
+
+
+def zlib_trailer(adler: int) -> bytes:
+    return struct.pack(">I", adler & 0xFFFFFFFF)
+
+
+def gzip_header() -> bytes:
+    # magic, CM=8, FLG=0, mtime=0, XFL=0, OS=255 (unknown)
+    return b"\x1f\x8b\x08\x00\x00\x00\x00\x00\x00\xff"
+
+
+def gzip_trailer(crc: int, isize: int) -> bytes:
+    return struct.pack("<II", crc & 0xFFFFFFFF, isize & 0xFFFFFFFF)
+
+
+def parse_zlib_header(data: bytes) -> tuple[int, int | None]:
+    """Returns (header_len, dictid or None). Raises on malformed input."""
+    if len(data) < 2:
+        raise ValueError("truncated zlib header")
+    cmf, flg = data[0], data[1]
+    if cmf & 0x0F != 8:
+        raise ValueError(f"unsupported compression method {cmf & 0x0F}")
+    if (cmf * 256 + flg) % 31 != 0:
+        raise ValueError("bad zlib header check")
+    if flg & 0x20:
+        if len(data) < 6:
+            raise ValueError("truncated DICTID")
+        return 6, struct.unpack(">I", data[2:6])[0]
+    return 2, None
+
+
+def parse_gzip_header(data: bytes) -> int:
+    """Returns the header length. Handles optional FEXTRA/FNAME/FCOMMENT/FHCRC."""
+    if len(data) < 10 or data[0] != 0x1F or data[1] != 0x8B:
+        raise ValueError("bad gzip magic")
+    if data[2] != 8:
+        raise ValueError(f"unsupported gzip method {data[2]}")
+    flg = data[3]
+    pos = 10
+    if flg & 0x04:  # FEXTRA
+        xlen = struct.unpack("<H", data[pos : pos + 2])[0]
+        pos += 2 + xlen
+    if flg & 0x08:  # FNAME
+        pos = data.index(b"\x00", pos) + 1
+    if flg & 0x10:  # FCOMMENT
+        pos = data.index(b"\x00", pos) + 1
+    if flg & 0x02:  # FHCRC
+        pos += 2
+    return pos
+
+
+def stored_segment(chunk: bytes, final: bool) -> bytes:
+    """Byte-aligned stored blocks covering `chunk` (SURVEY.md C14).
+
+    Assumes the write position is byte-aligned (our chunk framing
+    guarantees it). Each block: 1 header byte (BFINAL + BTYPE=00 + 5 pad
+    zero bits), LEN, NLEN, raw bytes.
+    """
+    out = bytearray()
+    n = len(chunk)
+    off = 0
+    while True:
+        piece = chunk[off : off + 65535]
+        off += len(piece)
+        last = off >= n
+        out.append(0x01 if (final and last) else 0x00)
+        ln = len(piece)
+        out += struct.pack("<HH", ln, ln ^ 0xFFFF)
+        out += piece
+        if last:
+            break
+    return bytes(out)
+
+
+SYNC_FLUSH_MARKER = b"\x00\x00\xff\xff"
+FINAL_EMPTY_FIXED_BLOCK = b"\x03\x00"
+
+
+def combine_adler(parts: list[tuple[int, int]]) -> int:
+    """Combine (adler, length) shard checksums in order."""
+    acc, _ = parts[0] if parts else (1, 0)
+    for a, ln in parts[1:]:
+        acc = adler32_combine(acc, a, ln)
+    return acc
+
+
+def combine_crc(parts: list[tuple[int, int]]) -> int:
+    acc = parts[0][0] if parts else 0
+    for c, ln in parts[1:]:
+        acc = crc32_combine(acc, c, ln)
+    return acc
