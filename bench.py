@@ -1,0 +1,106 @@
+"""Benchmark: end-to-end encode throughput vs single-thread zlib level 6.
+
+Prints ONE JSON line:
+  {"metric": "encode_MBps_level6", "value": N, "unit": "MB/s",
+   "vs_baseline": N / zlib6_MBps_measured_now}
+
+The corpus is the deterministic 8 MiB mixed recipe from BASELINE.md
+(headers + XML-ish text + binary), regenerated locally so the numbers are
+comparable across rounds. Everything else (ratio, per-stage info) goes to
+stderr. Run on the real chip by default; JAX_PLATFORMS=cpu for smoke.
+"""
+from __future__ import annotations
+
+import glob
+import json
+import sys
+import time
+import zlib
+
+import numpy as np
+
+CHUNK_BYTES = 1 << 18
+LEVEL = 6
+TARGET_BYTES = 8 << 20
+REPS = 3
+
+
+def build_corpus(target: int = TARGET_BYTES) -> bytes:
+    parts = []
+    total = 0
+    # 1) C headers (text, highly compressible, long-range repeats)
+    for path in sorted(glob.glob("/usr/include/*.h"))[:200]:
+        try:
+            b = open(path, "rb").read()
+        except OSError:
+            continue
+        parts.append(b)
+        total += len(b)
+        if total >= target // 2:
+            break
+    # 2) synthetic XML-ish records (mid compressibility, deterministic)
+    rng = np.random.default_rng(1234)
+    ids = rng.integers(0, 10**9, size=20000)
+    xml = "".join(
+        f"<row id='{i}' v='{i % 997}'><name>item-{i % 5000}</name></row>\n"
+        for i in ids
+    ).encode()
+    parts.append(xml[: target // 4])
+    # 3) binary (an ELF if present, else pseudo-random = stored fallback)
+    try:
+        elf = open("/usr/bin/python3.12", "rb").read()[: target // 4]
+    except OSError:
+        elf = rng.integers(0, 256, size=target // 4, dtype=np.uint8).tobytes()
+    parts.append(elf)
+    data = b"".join(parts)[:target]
+    if len(data) < target:
+        data = (data * (target // max(1, len(data)) + 1))[:target]
+    return data
+
+
+def main() -> None:
+    import zzflate_tpu as zf
+
+    data = build_corpus()
+    mb = len(data) / 1e6
+
+    # Baseline: single-thread zlib level 6, measured now on this host.
+    t0 = time.perf_counter()
+    zref = zlib.compress(data, LEVEL)
+    zlib_s = time.perf_counter() - t0
+    zlib_mbps = mb / zlib_s
+
+    # Warmup / compile.
+    out = zf.compress(data, level=LEVEL, format="gzip", chunk_bytes=CHUNK_BYTES)
+    assert zlib.decompress(out, wbits=31) == data, "round-trip failed"
+
+    times = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        out = zf.compress(
+            data, level=LEVEL, format="gzip", chunk_bytes=CHUNK_BYTES
+        )
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    mbps = mb / best
+
+    print(
+        f"corpus={len(data)}B ours={len(out)}B ratio={len(data)/len(out):.3f} "
+        f"zlib6={len(zref)}B ratio={len(data)/len(zref):.3f} "
+        f"times={['%.2f' % t for t in times]} zlib6_enc={zlib_mbps:.1f}MB/s",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "encode_MBps_level6",
+                "value": round(mbps, 2),
+                "unit": "MB/s",
+                "vs_baseline": round(mbps / zlib_mbps, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -25,66 +25,124 @@ def compress_bound(n: int, format: str = "zlib") -> int:
     return n + 5 * (n // 65535 + 1) + 2 + overhead
 
 
-def _encode_segments(
+def _build_chunk_batch(
     data: bytes,
-    config: CodecConfig,
+    chunk_bytes: int,
     dictionary: bytes | None,
-) -> list[bytes]:
-    """Deflate payload as byte-aligned per-chunk segments (sync-flush framed).
+    mark_final: bool = True,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, int]:
+    """Lay out (nchunks, 32K + chunk_bytes) rows with halo prefixes.
 
-    Every chunk after the first uses the previous chunk's 32 KiB tail as its
-    halo dictionary (SURVEY.md section 5.7 sequence-parallel scheme).
+    Chunk i's prefix is chunk i-1's last 32 KiB (the sequence-parallel halo
+    of SURVEY.md section 5.7); chunk 0's is the preset dictionary.
+    Returns (buf, valid_ends, window_starts, bfinals, nchunks).
     """
-    import jax.numpy as jnp
-
-    chunk_bytes = config.chunk_bytes
     n = len(data)
     nchunks = max(1, -(-n // chunk_bytes))
-    out_words = deflate_encoder.output_words_bound(chunk_bytes)
-    params = config.params
-    huffman_only = config.strategy == cfg_mod.STRATEGY_HUFFMAN_ONLY
-    fixed_only = config.strategy == cfg_mod.STRATEGY_FIXED
-
-    segments: list[bytes] = []
-    arr = np.zeros(_WINDOW + chunk_bytes, dtype=np.uint8)
+    buf = np.zeros((nchunks, _WINDOW + chunk_bytes), dtype=np.uint8)
+    valid_ends = np.zeros((nchunks,), dtype=np.int32)
+    window_starts = np.zeros((nchunks,), dtype=np.int32)
+    bfinals = np.zeros((nchunks,), dtype=np.int32)
     for i in range(nchunks):
         chunk = data[i * chunk_bytes : (i + 1) * chunk_bytes]
         if i == 0:
             prefix = (dictionary or b"")[-_WINDOW:]
         else:
             prefix = data[max(0, i * chunk_bytes - _WINDOW) : i * chunk_bytes]
-        arr[:] = 0
         if prefix:
-            arr[_WINDOW - len(prefix) : _WINDOW] = np.frombuffer(prefix, np.uint8)
+            buf[i, _WINDOW - len(prefix) : _WINDOW] = np.frombuffer(
+                prefix, np.uint8
+            )
         if chunk:
-            arr[_WINDOW : _WINDOW + len(chunk)] = np.frombuffer(chunk, np.uint8)
-        final = i == nchunks - 1
-        res = deflate_encoder.encode_chunk(
-            jnp.asarray(arr),
-            jnp.int32(_WINDOW),
-            jnp.int32(_WINDOW + len(chunk)),
-            jnp.int32(_WINDOW - len(prefix)),
-            jnp.int32(1 if final else 0),
+            buf[i, _WINDOW : _WINDOW + len(chunk)] = np.frombuffer(
+                chunk, np.uint8
+            )
+        valid_ends[i] = _WINDOW + len(chunk)
+        window_starts[i] = _WINDOW - len(prefix)
+    if mark_final:
+        bfinals[nchunks - 1] = 1
+    return buf, valid_ends, window_starts, bfinals, nchunks
+
+
+def _device_batch(chunk_bytes: int) -> int:
+    """Chunks dispatched per device call, sized to bound peak HBM."""
+    return max(1, min(16, (1 << 20) // chunk_bytes))
+
+
+def _encode_segments(
+    data: bytes,
+    config: CodecConfig,
+    dictionary: bytes | None,
+    stream_final: bool = True,
+) -> list[bytes]:
+    """Deflate payload as byte-aligned per-chunk segments (sync-flush framed).
+
+    All chunks are encoded with the batched device graph (one dispatch per
+    _device_batch group, no host sync until every batch is in flight) and
+    stitched on the host in order. stream_final=False keeps the stream
+    open (every chunk sync-flush framed, no BFINAL) for the streaming API.
+    """
+    import jax.numpy as jnp
+
+    chunk_bytes = config.chunk_bytes
+    out_words = deflate_encoder.output_words_bound(chunk_bytes)
+    params = config.params
+    huffman_only = config.strategy == cfg_mod.STRATEGY_HUFFMAN_ONLY
+    fixed_only = config.strategy == cfg_mod.STRATEGY_FIXED
+
+    buf, valid_ends, window_starts, bfinals, nchunks = _build_chunk_batch(
+        data, chunk_bytes, dictionary, mark_final=stream_final
+    )
+    starts = np.full((nchunks,), _WINDOW, dtype=np.int32)
+
+    bsz = _device_batch(chunk_bytes)
+    results = []
+    for b0 in range(0, nchunks, bsz):
+        b1 = min(b0 + bsz, nchunks)
+        pad = bsz - (b1 - b0)
+        # Pad the tail batch to the fixed batch size (one compiled graph);
+        # padded rows encode an empty block that the stitcher ignores.
+        def pick(a, fill=0):
+            s = a[b0:b1]
+            if pad:
+                s = np.concatenate([s, np.full((pad,) + s.shape[1:], fill, s.dtype)])
+            return jnp.asarray(s)
+
+        res = deflate_encoder.encode_chunks_batch(
+            pick(buf),
+            pick(starts, _WINDOW),
+            pick(valid_ends, _WINDOW),
+            pick(window_starts, _WINDOW),
+            pick(bfinals),
             params,
             out_words,
             huffman_only=huffman_only,
             fixed_only=fixed_only,
         )
-        nbits = int(res["nbits"])
-        words = np.asarray(res["words"], dtype="<u4")
-        if final:
-            seg = words.tobytes()[: (nbits + 7) // 8]
-        else:
-            # +3 zero bits open the sync-flush empty stored block; its
-            # alignment padding is zeros too (buffer is zero-initialized).
-            seg = (
-                words.tobytes()[: (nbits + 3 + 7) // 8]
-                + containers.SYNC_FLUSH_MARKER
-            )
-        stored = containers.stored_segment(chunk, final=final)
-        if len(stored) < len(seg):
-            seg = stored
-        segments.append(seg)
+        results.append(res)
+
+    segments: list[bytes] = []
+    for b0, res in zip(range(0, nchunks, bsz), results):
+        words_np = np.asarray(res["words"], dtype="<u4")
+        nbits_np = np.asarray(res["nbits"])
+        for j in range(min(bsz, nchunks - b0)):
+            i = b0 + j
+            nbits = int(nbits_np[j])
+            final = (i == nchunks - 1) and stream_final
+            if final:
+                seg = words_np[j].tobytes()[: (nbits + 7) // 8]
+            else:
+                # +3 zero bits open the sync-flush empty stored block; its
+                # alignment padding is zeros too (buffer starts zeroed).
+                seg = (
+                    words_np[j].tobytes()[: (nbits + 3 + 7) // 8]
+                    + containers.SYNC_FLUSH_MARKER
+                )
+            chunk = data[i * chunk_bytes : (i + 1) * chunk_bytes]
+            stored = containers.stored_segment(chunk, final=final)
+            if len(stored) < len(seg):
+                seg = stored
+            segments.append(seg)
     return segments
 
 
@@ -108,6 +166,12 @@ def compress(
         payload = containers.stored_segment(data, final=True)
     else:
         payload = b"".join(_encode_segments(data, config, dictionary))
+        # Whole-stream stored fallback: per-chunk sync-flush framing adds
+        # ~5 bytes/chunk, so incompressible inputs could otherwise exceed
+        # compress_bound (which is chunking-independent by contract).
+        stored_whole = containers.stored_segment(data, final=True)
+        if len(stored_whole) < len(payload):
+            payload = stored_whole
 
     if format == "raw":
         return payload

@@ -65,6 +65,8 @@ class CodecConfig:
             raise ValueError(f"unknown format {self.format!r}")
         if not 8 <= self.window_bits <= 15:
             raise ValueError("window_bits must be 8..15")
+        if self.chunk_bytes < 1024 or self.chunk_bytes % 1024:
+            raise ValueError("chunk_bytes must be a multiple of 1024")
 
     @property
     def params(self) -> LevelParams:

@@ -111,11 +111,7 @@ def _cl_rle(combined: jax.Array, total: jax.Array):
     return syms, ev, eb, ptr
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("params", "out_words", "huffman_only", "fixed_only"),
-)
-def encode_chunk(
+def _encode_impl(
     data: jax.Array,
     start: jax.Array,
     valid_end: jax.Array,
@@ -307,6 +303,61 @@ def encode_chunk(
         "cost_dynamic": cost_dyn,
         "used_dynamic": use_dyn,
     }
+
+
+encode_chunk = functools.partial(
+    jax.jit,
+    static_argnames=("params", "out_words", "huffman_only", "fixed_only"),
+)(_encode_impl)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "params", "out_words", "huffman_only", "fixed_only", "with_checksums"
+    ),
+)
+def encode_chunks_batch(
+    data: jax.Array,
+    starts: jax.Array,
+    valid_ends: jax.Array,
+    window_starts: jax.Array,
+    bfinals: jax.Array,
+    params: LevelParams,
+    out_words: int,
+    huffman_only: bool = False,
+    fixed_only: bool = False,
+    with_checksums: bool = False,
+):
+    """Batched encoder: data is (B, N) uint8, scalars become (B,) arrays.
+
+    Chunks in the batch are fully independent (the data-parallel axis of
+    SURVEY.md section 2.1); sharding the leading axis over a device mesh
+    turns this single jitted call into the multi-chip encode step.
+
+    with_checksums=True additionally returns per-chunk "adler" and "crc"
+    partials over [start, valid_end) — the host merges them in order with
+    ops.checksums.{adler32,crc32}_combine (SURVEY.md C3/C4 shard design),
+    so container trailers never re-touch the input bytes on the host.
+    """
+    fn = functools.partial(
+        _encode_impl,
+        params=params,
+        out_words=out_words,
+        huffman_only=huffman_only,
+        fixed_only=fixed_only,
+    )
+    out = jax.vmap(fn)(data, starts, valid_ends, window_starts, bfinals)
+    if with_checksums:
+        from zzflate_tpu.ops import checksums as cs
+
+        out["adler"] = jax.vmap(
+            lambda d, s, e: cs._adler32_impl(d, e, s)
+        )(data, starts, valid_ends)
+        out["crc"] = jax.vmap(
+            lambda d, s, e: cs._crc32_impl(d, e, s)
+        )(data, starts, valid_ends)
+    return out
 
 
 def output_words_bound(chunk_bytes: int) -> int:

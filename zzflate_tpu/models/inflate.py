@@ -175,6 +175,21 @@ def inflate_raw(
     return bytes(out[dict_len:]), br.bitpos
 
 
+def _inflate_raw_fast(
+    data: bytes, dictionary: bytes = b"", bitpos: int = 0
+) -> tuple[bytes, int]:
+    """Raw-deflate decode via the native runtime when available, else the
+    Python reference decoder above (identical contract)."""
+    try:
+        from zzflate_tpu import native
+
+        if native.lib() is not None:
+            return native.inflate_raw(data, dictionary, bitpos)
+    except (ImportError, RuntimeError):
+        pass
+    return inflate_raw(data, dictionary, bitpos)
+
+
 def decompress(
     data: bytes, format: str = "zlib", dictionary: bytes | None = None
 ) -> bytes:
@@ -186,7 +201,7 @@ def decompress(
                 raise ValueError("stream requires a preset dictionary")
             if _zlib.adler32(dictionary) != dictid:
                 raise ValueError("dictionary id mismatch")
-        out, endbit = inflate_raw(data, dictionary or b"", hdr_len * 8)
+        out, endbit = _inflate_raw_fast(data, dictionary or b"", hdr_len * 8)
         endbyte = (endbit + 7) >> 3
         (adler,) = struct.unpack(">I", data[endbyte : endbyte + 4])
         if _zlib.adler32(out) != adler:
@@ -194,7 +209,7 @@ def decompress(
         return out
     if format == "gzip":
         hdr_len = containers.parse_gzip_header(data)
-        out, endbit = inflate_raw(data, b"", hdr_len * 8)
+        out, endbit = _inflate_raw_fast(data, b"", hdr_len * 8)
         endbyte = (endbit + 7) >> 3
         crc, isize = struct.unpack("<II", data[endbyte : endbyte + 8])
         if _zlib.crc32(out) != crc:
@@ -203,6 +218,6 @@ def decompress(
             raise ValueError("isize mismatch")
         return out
     if format == "raw":
-        out, _ = inflate_raw(data, dictionary or b"")
+        out, _ = _inflate_raw_fast(data, dictionary or b"")
         return out
     raise ValueError(f"unknown format {format!r}")

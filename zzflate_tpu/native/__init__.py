@@ -1,0 +1,152 @@
+"""ctypes binding for the native runtime (inflate + checksums).
+
+The shared library is built lazily from the bundled C source the first time
+it is needed (gcc is part of the image; pybind11 is not, hence ctypes).
+Everything degrades gracefully: `lib()` returns None if no compiler is
+available and callers fall back to the pure-Python paths.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "zzflate_native.c")
+_SO = os.path.join(_HERE, "_libzzflate.so")
+
+_lock = threading.Lock()
+_lib: ctypes.CDLL | None = None
+_tried = False
+
+# zzt_inflate error codes (keep in sync with zzflate_native.c)
+OK = 0
+ERRORS = {
+    -1: "invalid BTYPE",
+    -2: "stored block LEN/NLEN mismatch",
+    -3: "invalid Huffman table",
+    -4: "invalid symbol",
+    -5: "distance too far back",
+    -6: "output buffer full",
+    -7: "input overrun",
+}
+
+
+def _build() -> bool:
+    for cc in ("gcc", "cc", "clang"):
+        try:
+            r = subprocess.run(
+                [cc, "-O3", "-shared", "-fPIC", "-o", _SO, _SRC],
+                capture_output=True,
+                timeout=120,
+            )
+            if r.returncode == 0:
+                return True
+        except (OSError, subprocess.TimeoutExpired):
+            continue
+    return False
+
+
+def lib() -> ctypes.CDLL | None:
+    """The loaded native library, building it on first use; None if
+    unavailable (callers must fall back to Python)."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(
+            _SRC
+        ):
+            if not _build():
+                return None
+        try:
+            L = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+        L.zzt_inflate.restype = ctypes.c_int
+        L.zzt_inflate.argtypes = [
+            ctypes.c_char_p,          # in
+            ctypes.c_size_t,          # in_len
+            ctypes.c_size_t,          # start_bit
+            ctypes.c_void_p,          # out
+            ctypes.c_size_t,          # out_cap
+            ctypes.c_size_t,          # dict_len
+            ctypes.POINTER(ctypes.c_size_t),  # out_len
+            ctypes.POINTER(ctypes.c_size_t),  # end_bit
+            ctypes.c_size_t,          # stop_bytes
+        ]
+        L.zzt_adler32.restype = ctypes.c_uint32
+        L.zzt_adler32.argtypes = [
+            ctypes.c_uint32, ctypes.c_char_p, ctypes.c_size_t
+        ]
+        L.zzt_crc32.restype = ctypes.c_uint32
+        L.zzt_crc32.argtypes = [
+            ctypes.c_uint32, ctypes.c_char_p, ctypes.c_size_t
+        ]
+        _lib = L
+        return _lib
+
+
+def inflate_raw(
+    data: bytes,
+    dictionary: bytes = b"",
+    bitpos: int = 0,
+    out_cap_hint: int | None = None,
+) -> tuple[bytes, int]:
+    """Native raw-deflate decode. Returns (output, end_bitpos).
+
+    Raises ValueError on malformed streams (same contract as the Python
+    decoder in models/inflate.py). Grows the output buffer geometrically on
+    ZZT_E_OUTFULL.
+    """
+    L = lib()
+    if L is None:
+        raise RuntimeError("native library unavailable")
+    dictionary = dictionary[-32768:]
+    dlen = len(dictionary)
+    cap = out_cap_hint or max(4 * len(data) + 4096, 1 << 16)
+    while True:
+        buf = ctypes.create_string_buffer(dlen + cap)
+        if dlen:
+            ctypes.memmove(buf, dictionary, dlen)
+        out_len = ctypes.c_size_t(0)
+        end_bit = ctypes.c_size_t(0)
+        rc = L.zzt_inflate(
+            data,
+            len(data),
+            bitpos,
+            ctypes.byref(buf),
+            dlen + cap,
+            dlen,
+            ctypes.byref(out_len),
+            ctypes.byref(end_bit),
+            0,
+        )
+        if rc == OK:
+            return buf.raw[dlen : dlen + out_len.value], end_bit.value
+        if rc == -6:  # output full: grow and retry
+            cap *= 4
+            continue
+        raise ValueError(ERRORS.get(rc, f"inflate error {rc}"))
+
+
+def adler32(data: bytes, value: int = 1) -> int:
+    L = lib()
+    if L is None:
+        import zlib
+
+        return zlib.adler32(data, value)
+    return int(L.zzt_adler32(value, data, len(data)))
+
+
+def crc32(data: bytes, value: int = 0) -> int:
+    L = lib()
+    if L is None:
+        import zlib
+
+        return zlib.crc32(data, value)
+    return int(L.zzt_crc32(value, data, len(data)))

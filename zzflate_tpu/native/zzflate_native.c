@@ -1,0 +1,349 @@
+/* zzflate_tpu native runtime: fast host-side inflate + checksums.
+ *
+ * A from-scratch table-driven raw-DEFLATE decoder (RFC 1951) plus
+ * Adler-32/CRC-32, written for the host side of the TPU codec: the device
+ * owns encode; decode of arbitrary zlib/gzip streams is bit-serial by
+ * nature, so it lives here as native code (the reference-class codec's C2 +
+ * C17 components, SURVEY.md section 2). Built as a plain shared library,
+ * bound via ctypes (no pybind11 in this image).
+ *
+ * Bit order: LSB-first within each byte; Huffman codes are MSB-first so the
+ * decode tables are indexed by bit-reversed codes (SURVEY.md A.1).
+ */
+#include <stdint.h>
+#include <stddef.h>
+#include <string.h>
+
+#define ZZT_OK 0
+#define ZZT_E_BTYPE (-1)
+#define ZZT_E_STORED (-2)
+#define ZZT_E_TABLE (-3)
+#define ZZT_E_SYMBOL (-4)
+#define ZZT_E_DIST (-5)
+#define ZZT_E_OUTFULL (-6)
+#define ZZT_E_INPUT (-7)
+
+/* ---------------- bit reader ---------------- */
+
+typedef struct {
+  const uint8_t *p, *end, *base;
+  uint64_t acc;
+  int n; /* bits valid in acc */
+} bits_t;
+
+static void br_init(bits_t *b, const uint8_t *in, size_t in_len,
+                    size_t start_bit) {
+  b->base = in;
+  b->p = in + (start_bit >> 3);
+  b->end = in + in_len;
+  b->acc = 0;
+  b->n = 0;
+  if (b->p < b->end) {
+    b->acc = (uint64_t)(*b->p++) >> (start_bit & 7);
+    b->n = 8 - (int)(start_bit & 7);
+  }
+}
+
+static inline void br_refill(bits_t *b) {
+  while (b->n <= 56 && b->p < b->end) {
+    b->acc |= (uint64_t)(*b->p++) << b->n;
+    b->n += 8;
+  }
+}
+
+static inline uint32_t br_peek(bits_t *b, int k) {
+  br_refill(b);
+  return (uint32_t)(b->acc & ((1u << k) - 1));
+}
+
+static inline void br_consume(bits_t *b, int k) {
+  b->acc >>= k;
+  b->n -= k; /* may go negative past stream end; checked via br_pos */
+}
+
+static inline uint32_t br_get(bits_t *b, int k) {
+  uint32_t v = br_peek(b, k);
+  br_consume(b, k);
+  return v;
+}
+
+static inline size_t br_pos(const bits_t *b) {
+  return (size_t)(b->p - b->base) * 8 - (size_t)b->n;
+}
+
+static void br_align(bits_t *b) {
+  int r = (int)(br_pos(b) & 7);
+  if (r) br_consume(b, 8 - r);
+}
+
+/* ---------------- Huffman decode tables ---------------- */
+
+/* entry: (bits<<16) | sym ; 0 == invalid */
+typedef struct {
+  uint32_t table[1 << 15];
+  int bits; /* table index width == max code length */
+} htab_t;
+
+static int build_table(const uint8_t *lens, int n, htab_t *t) {
+  int count[16] = {0};
+  int i, l, max_len = 0;
+  for (i = 0; i < n; i++) {
+    if (lens[i] > 15) return ZZT_E_TABLE;
+    count[lens[i]]++;
+    if (lens[i] > max_len) max_len = lens[i];
+  }
+  if (max_len == 0) { /* empty alphabet: legal for distance-free blocks */
+    t->bits = 1;
+    memset(t->table, 0, sizeof(uint32_t) << 1);
+    return ZZT_OK;
+  }
+  /* Kraft check: over-subscribed is an error; incomplete is legal only in
+   * the 1-code case (DEFLATE allows a single distance code of length 1). */
+  {
+    int left = 1;
+    for (l = 1; l <= 15; l++) {
+      left <<= 1;
+      left -= count[l];
+      if (left < 0) return ZZT_E_TABLE;
+    }
+  }
+  int first[16], code = 0;
+  for (l = 1; l <= max_len; l++) {
+    code = (code + count[l - 1]) << 1;
+    first[l] = code;
+  }
+  t->bits = max_len;
+  memset(t->table, 0, sizeof(uint32_t) << max_len);
+  int next[16];
+  memcpy(next, first, sizeof(next));
+  for (i = 0; i < n; i++) {
+    l = lens[i];
+    if (!l) continue;
+    uint32_t c = (uint32_t)next[l]++;
+    /* bit-reverse the l-bit code (codes are MSB-first on the wire) */
+    uint32_t r = 0;
+    for (int k = 0; k < l; k++) r |= ((c >> k) & 1u) << (l - 1 - k);
+    uint32_t e = ((uint32_t)l << 16) | (uint32_t)i;
+    for (uint32_t idx = r; idx < (1u << max_len); idx += 1u << l)
+      t->table[idx] = e;
+  }
+  return ZZT_OK;
+}
+
+static inline int decode_sym(bits_t *b, const htab_t *t) {
+  uint32_t e = t->table[br_peek(b, t->bits)];
+  if (!e) return -1;
+  br_consume(b, (int)(e >> 16));
+  return (int)(e & 0xFFFF);
+}
+
+/* ---------------- DEFLATE constants (RFC 1951 / SURVEY.md A.2-A.5) ---- */
+
+static const uint16_t LBASE[29] = {3, 4, 5, 6, 7, 8, 9, 10, 11, 13,
+                                   15, 17, 19, 23, 27, 31, 35, 43, 51, 59,
+                                   67, 83, 99, 115, 131, 163, 195, 227, 258};
+static const uint8_t LEXT[29] = {0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2,
+                                 2, 3, 3, 3, 3, 4, 4, 4, 4, 5, 5, 5, 5, 0};
+static const uint16_t DBASE[30] = {1, 2, 3, 4, 5, 7, 9, 13, 17, 25,
+                                   33, 49, 65, 97, 129, 193, 257, 385, 513,
+                                   769, 1025, 1537, 2049, 3073, 4097, 6145,
+                                   8193, 12289, 16385, 24577};
+static const uint8_t DEXT[30] = {0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6,
+                                 6, 7, 7, 8, 8, 9, 9, 10, 10, 11, 11, 12, 12,
+                                 13, 13};
+static const uint8_t CLORD[19] = {16, 17, 18, 0, 8, 7, 9, 6, 10, 5,
+                                  11, 4, 12, 3, 13, 2, 14, 1, 15};
+
+static htab_t g_fixed_ll, g_fixed_d;
+static int g_fixed_ready = 0;
+
+static void init_fixed(void) {
+  uint8_t lens[288];
+  int i;
+  for (i = 0; i < 144; i++) lens[i] = 8;
+  for (; i < 256; i++) lens[i] = 9;
+  for (; i < 280; i++) lens[i] = 7;
+  for (; i < 288; i++) lens[i] = 8;
+  build_table(lens, 288, &g_fixed_ll);
+  for (i = 0; i < 30; i++) lens[i] = 5;
+  build_table(lens, 30, &g_fixed_d);
+  g_fixed_ready = 1;
+}
+
+/* ---------------- inflate ---------------- */
+
+/* Decode a raw deflate stream.
+ *   in/in_len/start_bit : input bitstream and starting bit offset
+ *   out/out_cap         : output buffer; out[0..dict_len) must hold the
+ *                         preset dictionary (back-reference context)
+ *   dict_len            : bytes of dictionary already in `out`
+ *   out_len (out)       : bytes produced AFTER the dictionary
+ *   end_bit (out)       : bit position one past the final block
+ *   stop_bytes          : if nonzero, return after >= this many output
+ *                         bytes even without BFINAL (streaming support)
+ * Returns ZZT_OK or a negative error. */
+int zzt_inflate(const uint8_t *in, size_t in_len, size_t start_bit,
+                uint8_t *out, size_t out_cap, size_t dict_len,
+                size_t *out_len, size_t *end_bit, size_t stop_bytes) {
+  bits_t b;
+  size_t w = dict_len; /* write cursor into out */
+  static __thread htab_t dyn_ll, dyn_d;
+
+  if (!g_fixed_ready) init_fixed();
+  br_init(&b, in, in_len, start_bit);
+
+  for (;;) {
+    uint32_t bfinal = br_get(&b, 1);
+    uint32_t btype = br_get(&b, 2);
+    const htab_t *ll, *dd;
+    if (btype == 0) {
+      br_align(&b);
+      size_t pos = br_pos(&b) >> 3;
+      if (pos + 4 > in_len) return ZZT_E_INPUT;
+      uint32_t len = in[pos] | ((uint32_t)in[pos + 1] << 8);
+      uint32_t nlen = in[pos + 2] | ((uint32_t)in[pos + 3] << 8);
+      if ((len ^ nlen) != 0xFFFF) return ZZT_E_STORED;
+      if (pos + 4 + len > in_len) return ZZT_E_INPUT;
+      if (w + len > out_cap) return ZZT_E_OUTFULL;
+      memcpy(out + w, in + pos + 4, len);
+      w += len;
+      br_init(&b, in, in_len, (pos + 4 + len) * 8);
+      goto block_done;
+    } else if (btype == 1) {
+      ll = &g_fixed_ll;
+      dd = &g_fixed_d;
+    } else if (btype == 2) {
+      uint32_t hlit = br_get(&b, 5) + 257;
+      uint32_t hdist = br_get(&b, 5) + 1;
+      uint32_t hclen = br_get(&b, 4) + 4;
+      uint8_t cl_lens[19] = {0};
+      uint8_t lens[288 + 32];
+      uint32_t i;
+      htab_t cl_tab;
+      if (hlit > 286 || hdist > 30) return ZZT_E_TABLE;
+      for (i = 0; i < hclen; i++) cl_lens[CLORD[i]] = (uint8_t)br_get(&b, 3);
+      if (build_table(cl_lens, 19, &cl_tab) != ZZT_OK) return ZZT_E_TABLE;
+      for (i = 0; i < hlit + hdist;) {
+        int s = decode_sym(&b, &cl_tab);
+        if (s < 0) return ZZT_E_SYMBOL;
+        if (s < 16) {
+          lens[i++] = (uint8_t)s;
+        } else if (s == 16) {
+          if (i == 0) return ZZT_E_TABLE;
+          uint32_t r = 3 + br_get(&b, 2);
+          uint8_t prev = lens[i - 1];
+          if (i + r > hlit + hdist) return ZZT_E_TABLE;
+          while (r--) lens[i++] = prev;
+        } else {
+          uint32_t r = (s == 17) ? 3 + br_get(&b, 3) : 11 + br_get(&b, 7);
+          if (i + r > hlit + hdist) return ZZT_E_TABLE;
+          while (r--) lens[i++] = 0;
+        }
+      }
+      if (build_table(lens, (int)hlit, &dyn_ll) != ZZT_OK) return ZZT_E_TABLE;
+      if (build_table(lens + hlit, (int)hdist, &dyn_d) != ZZT_OK)
+        return ZZT_E_TABLE;
+      ll = &dyn_ll;
+      dd = &dyn_d;
+    } else {
+      return ZZT_E_BTYPE;
+    }
+
+    for (;;) {
+      int s = decode_sym(&b, ll);
+      if (s < 0) return ZZT_E_SYMBOL;
+      if (s < 256) {
+        if (w >= out_cap) return ZZT_E_OUTFULL;
+        out[w++] = (uint8_t)s;
+      } else if (s == 256) {
+        break;
+      } else {
+        s -= 257;
+        if (s >= 29) return ZZT_E_SYMBOL;
+        uint32_t len = LBASE[s] + br_get(&b, LEXT[s]);
+        int ds = decode_sym(&b, dd);
+        if (ds < 0 || ds >= 30) return ZZT_E_SYMBOL;
+        uint32_t dist = DBASE[ds] + br_get(&b, DEXT[ds]);
+        if (dist > w) return ZZT_E_DIST;
+        if (w + len > out_cap) return ZZT_E_OUTFULL;
+        {
+          const uint8_t *src = out + w - dist;
+          uint8_t *dst = out + w;
+          if (dist >= len) {
+            memcpy(dst, src, len);
+          } else if (dist == 1) {
+            memset(dst, src[0], len);
+          } else {
+            uint32_t k = 0;
+            for (; k < len; k++) dst[k] = src[k]; /* overlapped semantics */
+          }
+          w += len;
+        }
+      }
+    }
+  block_done:
+    if (br_pos(&b) > in_len * 8) return ZZT_E_INPUT;
+    if (bfinal) break;
+    if (stop_bytes && w - dict_len >= stop_bytes) break;
+  }
+  *out_len = w - dict_len;
+  *end_bit = br_pos(&b);
+  return ZZT_OK;
+}
+
+/* ---------------- checksums ---------------- */
+
+uint32_t zzt_adler32(uint32_t adler, const uint8_t *buf, size_t len) {
+  const uint32_t MOD = 65521;
+  uint32_t s1 = adler & 0xFFFF, s2 = (adler >> 16) & 0xFFFF;
+  while (len) {
+    size_t n = len < 5552 ? len : 5552; /* max before 32-bit overflow */
+    len -= n;
+    while (n >= 8) {
+      s1 += buf[0]; s2 += s1; s1 += buf[1]; s2 += s1;
+      s1 += buf[2]; s2 += s1; s1 += buf[3]; s2 += s1;
+      s1 += buf[4]; s2 += s1; s1 += buf[5]; s2 += s1;
+      s1 += buf[6]; s2 += s1; s1 += buf[7]; s2 += s1;
+      buf += 8; n -= 8;
+    }
+    while (n--) { s1 += *buf++; s2 += s1; }
+    s1 %= MOD;
+    s2 %= MOD;
+  }
+  return (s2 << 16) | s1;
+}
+
+static uint32_t g_crc_tab[8][256];
+static int g_crc_ready = 0;
+
+static void init_crc(void) {
+  for (int i = 0; i < 256; i++) {
+    uint32_t c = (uint32_t)i;
+    for (int k = 0; k < 8; k++) c = (c >> 1) ^ (0xEDB88320u & (0u - (c & 1)));
+    g_crc_tab[0][i] = c;
+  }
+  for (int t = 1; t < 8; t++)
+    for (int i = 0; i < 256; i++)
+      g_crc_tab[t][i] =
+          (g_crc_tab[t - 1][i] >> 8) ^ g_crc_tab[0][g_crc_tab[t - 1][i] & 0xFF];
+  g_crc_ready = 1;
+}
+
+uint32_t zzt_crc32(uint32_t crc, const uint8_t *buf, size_t len) {
+  if (!g_crc_ready) init_crc();
+  crc = ~crc;
+  while (len >= 8) { /* slice-by-8 */
+    uint32_t lo = crc ^ ((uint32_t)buf[0] | ((uint32_t)buf[1] << 8) |
+                         ((uint32_t)buf[2] << 16) | ((uint32_t)buf[3] << 24));
+    uint32_t hi = (uint32_t)buf[4] | ((uint32_t)buf[5] << 8) |
+                  ((uint32_t)buf[6] << 16) | ((uint32_t)buf[7] << 24);
+    crc = g_crc_tab[7][lo & 0xFF] ^ g_crc_tab[6][(lo >> 8) & 0xFF] ^
+          g_crc_tab[5][(lo >> 16) & 0xFF] ^ g_crc_tab[4][lo >> 24] ^
+          g_crc_tab[3][hi & 0xFF] ^ g_crc_tab[2][(hi >> 8) & 0xFF] ^
+          g_crc_tab[1][(hi >> 16) & 0xFF] ^ g_crc_tab[0][hi >> 24];
+    buf += 8;
+    len -= 8;
+  }
+  while (len--) crc = (crc >> 8) ^ g_crc_tab[0][(crc ^ *buf++) & 0xFF];
+  return ~crc;
+}

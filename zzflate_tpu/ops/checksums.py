@@ -132,20 +132,27 @@ def crc32_shift(crc: int, nbytes: int) -> int:
 
 
 def crc32_combine(crc1: int, crc2: int, len2: int) -> int:
-    """crc32(A||B) from crc32(A), crc32(B), len(B). Matches zlib.h:1752."""
-    # Standard-init crcs: crc = raw(n) ^ 0xFFFFFFFF with raw including the
-    # init-0xFFFFFFFF term; combining in raw space:
-    return crc32_shift(crc1 ^ 0xFFFFFFFF, len2) ^ crc2
+    """crc32(A||B) from crc32(A), crc32(B), len(B). Matches zlib.h:1752.
+
+    With R(x, init) = A^len(x) init ^ C(x) (C = zero-init contribution) and
+    crc = ~R(x, ~0): the init/xorout terms cancel so that
+    crc(A||B) = A^len(B)(crc(A)) ^ crc(B).
+    """
+    return crc32_shift(crc1, len2) ^ crc2
 
 
 def adler32_combine(adler1: int, adler2: int, len2: int) -> int:
-    """adler32(A||B) from the two adlers and len(B). Matches zlib.h:1716."""
+    """adler32(A||B) from the two adlers and len(B). Matches zlib.h:1716.
+
+    s1(AB) = s1(A) + s1(B) - 1;  s2(AB) = s2(A) + s2(B) + len(B)*(s1(A)-1),
+    from s2(X) = len(X) + sum_i x_i*(len(X)-i) and s1 init 1 / s2 init 0.
+    """
     m = ADLER_MOD
     rem = len2 % m
     s1a, s2a = adler1 & 0xFFFF, (adler1 >> 16) & 0xFFFF
     s1b, s2b = adler2 & 0xFFFF, (adler2 >> 16) & 0xFFFF
     s1 = (s1a + s1b - 1) % m
-    s2 = (s2a + s2b - 1 + rem * (s1a - 1)) % m
+    s2 = (s2a + s2b + rem * (s1a - 1)) % m
     return (s2 << 16) | s1
 
 
@@ -164,11 +171,23 @@ def _ceil_pow2(n: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("block",))
-def _adler32_impl(data: jax.Array, length: jax.Array, block: int = _BLOCK):
+def _adler32_impl(
+    data: jax.Array,
+    length: jax.Array,
+    start: jax.Array = 0,
+    block: int = _BLOCK,
+):
+    """Adler-32 of data[start:length].
+
+    Leading zeros are transparent to the S/W partials (x=0 contributes
+    nothing, and W's weight (length - i) equals the in-chunk weight), so
+    only the final n term needs the true chunk length.
+    """
     n_pad = data.shape[0]
     assert n_pad % block == 0
     m = jnp.uint32(ADLER_MOD)
-    data = jnp.where(jnp.arange(n_pad) < length, data, 0)
+    idx = jnp.arange(n_pad)
+    data = jnp.where((idx >= start) & (idx < length), data, 0)
     x = data.astype(jnp.int32).reshape(-1, block)
     weights = (block - jnp.arange(block, dtype=jnp.int32)).reshape(1, block)
     s = (jnp.sum(x, axis=1).astype(jnp.uint32)) % m
@@ -193,14 +212,14 @@ def _adler32_impl(data: jax.Array, length: jax.Array, block: int = _BLOCK):
     # (effective_total - length); W_true = W_pad - pad*S  (mod m).
     pad = (jnp.uint32(effective_total) - length.astype(jnp.uint32)) % m
     w_true = (w_pad + ((m - pad) % m) * s_total % m) % m
-    n_mod = length.astype(jnp.uint32) % m
+    n_mod = (length - start).astype(jnp.uint32) % m
     s1 = (jnp.uint32(1) + s_total) % m
     s2 = (n_mod + w_true) % m
     return (s2 << jnp.uint32(16)) | s1
 
 
-def adler32(data, length=None) -> jax.Array:
-    """Adler-32 of data[:length] (uint8 array). Returns uint32 scalar."""
+def adler32(data, length=None, start=0) -> jax.Array:
+    """Adler-32 of data[start:length] (uint8 array). Returns uint32 scalar."""
     data = jnp.asarray(data, dtype=jnp.uint8)
     n = data.shape[0]
     if length is None:
@@ -208,7 +227,9 @@ def adler32(data, length=None) -> jax.Array:
     n_pad = max(_BLOCK, ((n + _BLOCK - 1) // _BLOCK) * _BLOCK)
     if n_pad != n:
         data = jnp.pad(data, (0, n_pad - n))
-    return _adler32_impl(data, jnp.asarray(length, jnp.int32))
+    return _adler32_impl(
+        data, jnp.asarray(length, jnp.int32), jnp.asarray(start, jnp.int32)
+    )
 
 
 def _gf_matvec_batch(cols: jax.Array, v: jax.Array) -> jax.Array:
@@ -221,26 +242,37 @@ def _gf_matvec_batch(cols: jax.Array, v: jax.Array) -> jax.Array:
 
 
 @jax.jit
-def _crc32_impl(data: jax.Array, length: jax.Array):
+def _crc32_impl(data: jax.Array, length: jax.Array, start: jax.Array = 0):
+    """CRC-32 of data[start:length].
+
+    Leading zeros are transparent to the zero-init contribution (T[0]==0
+    and A(0)==0); only the init-fold term needs the true chunk length.
+    """
     n_pad = data.shape[0]
     table = jnp.asarray(CRC_TABLE)
     pow_fwd = jnp.asarray(CRC_POW)
     pow_inv = jnp.asarray(CRC_POW_INV)
-    # Per-byte contributions T[b_i]; bytes at/after `length` are masked to
-    # zero (T[0] == 0, so they contribute nothing).
-    data = jnp.where(jnp.arange(n_pad) < length, data, 0)
+    # Per-byte contributions T[b_i]; bytes outside [start, length) are
+    # masked to zero (T[0] == 0, so they contribute nothing).
+    idx = jnp.arange(n_pad)
+    data = jnp.where((idx >= start) & (idx < length), data, 0)
     c = table[data.astype(jnp.int32)]
     # Tree combine: c(L||R) = A^len(R) c(L) ^ c(R); len(R) = 2^j at level j.
+    # Odd levels append an implicit all-zero segment (zero contribution is
+    # exact for zero bytes); track the effective total length so the final
+    # right-padding correction stays right for non-power-of-two inputs.
     level = 0
+    eff_total = n_pad
     while c.shape[0] > 1:
         if c.shape[0] % 2:
             c = jnp.concatenate([c, jnp.zeros((1,), jnp.uint32)])
+            eff_total += 1 << level
         cl, cr = c[0::2], c[1::2]
         c = _gf_matvec_batch(pow_fwd[level], cl) ^ cr
         level += 1
     c_pad = c[0]
     # Undo right zero-padding: c_pad = A^pad(c_true).
-    pad = jnp.uint32(n_pad) - length.astype(jnp.uint32)
+    pad = jnp.uint32(eff_total) - length.astype(jnp.uint32)
     c_true = c_pad
     for j in range(_MAX_LOG):
         bit = (pad >> jnp.uint32(j)) & jnp.uint32(1)
@@ -248,7 +280,7 @@ def _crc32_impl(data: jax.Array, length: jax.Array):
         c_true = jnp.where(bit == 1, shifted, c_true)
     # Fold in the 0xFFFFFFFF init shifted over length, and the final xorout.
     init = jnp.uint32(0xFFFFFFFF)
-    nlen = length.astype(jnp.uint32)
+    nlen = (length - start).astype(jnp.uint32)
     for j in range(_MAX_LOG):
         bit = (nlen >> jnp.uint32(j)) & jnp.uint32(1)
         shifted = _gf_matvec_batch(pow_fwd[j], init[None])[0]
@@ -256,8 +288,8 @@ def _crc32_impl(data: jax.Array, length: jax.Array):
     return init ^ c_true ^ jnp.uint32(0xFFFFFFFF)
 
 
-def crc32(data, length=None) -> jax.Array:
-    """CRC-32 (zlib/gzip polynomial) of data[:length]. Returns uint32."""
+def crc32(data, length=None, start=0) -> jax.Array:
+    """CRC-32 (zlib/gzip polynomial) of data[start:length]. Returns uint32."""
     data = jnp.asarray(data, dtype=jnp.uint8)
     n = data.shape[0]
     if length is None:
@@ -265,4 +297,6 @@ def crc32(data, length=None) -> jax.Array:
     n_pad = max(1, _ceil_pow2(n))
     if n_pad != n:
         data = jnp.pad(data, (0, n_pad - n))
-    return _crc32_impl(data, jnp.asarray(length, jnp.int32))
+    return _crc32_impl(
+        data, jnp.asarray(length, jnp.int32), jnp.asarray(start, jnp.int32)
+    )

@@ -38,11 +38,13 @@ def code_lengths(freq: jax.Array, max_len: int) -> jax.Array:
     used = freq > 0
     n_used = jnp.sum(used.astype(jnp.int32))
 
-    # Sort leaves by (freq asc, symbol asc); unused go last.
+    # Sort leaves by (freq asc, symbol asc); unused go last. lexsort keeps
+    # the two keys separate (a combined freq*2n+sym key overflows int32
+    # for large frequencies).
     sym = jnp.arange(n, dtype=jnp.int32)
-    key = jnp.where(used, freq * (2 * n) + sym, _INF)
-    order = jnp.argsort(key)  # sorted-rank -> symbol id
-    leaf_w = jnp.where(jnp.arange(n) < n_used, jnp.sort(key) // (2 * n), _INF)
+    freq_m = jnp.where(used, freq, _INF)
+    order = jnp.lexsort((sym, freq_m)).astype(jnp.int32)
+    leaf_w = jnp.where(jnp.arange(n) < n_used, freq_m[order], _INF)
 
     # Two-queue Huffman: n-1 static merge steps, masked beyond n_used-1.
     # Node ids: child < n means leaf rank; child >= n means node (id - n).
@@ -120,32 +122,44 @@ def code_lengths(freq: jax.Array, max_len: int) -> jax.Array:
         n_used == 1, jnp.where(sym == 0, 1, 0), leaf_depth
     )
 
-    # bl_count with clamping at max_len; count the clamped overflow.
+    # bl_count with clamping at max_len. Clamping depth d > max_len to
+    # max_len strictly increases the Kraft sum, so measure the exact
+    # over-subscription in integer units of 2^-max_len:
+    #   K = sum over used leaves of 2^(max_len - len);  complete <=> K == 2^max_len.
     rank_used = jnp.arange(n) < n_used
     clamped = jnp.minimum(leaf_depth, max_len)
     bl_count = jnp.zeros((max_len + 1,), jnp.int32).at[
         jnp.where(rank_used, clamped, 0)
     ].add(jnp.where(rank_used, 1, 0))
     bl_count = bl_count.at[0].set(0)
-    overflow = jnp.sum(jnp.where(rank_used & (leaf_depth > max_len), 1, 0))
+    kraft = jnp.sum(
+        jnp.where(
+            rank_used, jnp.int32(1) << (max_len - jnp.maximum(clamped, 1)), 0
+        )
+    )
 
-    # zlib-style overflow fix: repeatedly move one leaf from the deepest
-    # underfull level down, freeing a slot at max_len.
+    # Repair: take the deepest non-empty level `bits` < max_len, turn one
+    # of its leaves into an internal node whose children are itself and a
+    # leaf pulled up from max_len (bl[bits]-=1, bl[bits+1]+=2,
+    # bl[max_len]-=1). Each move reduces K by exactly one unit, so loop
+    # until K == 2^max_len (the multiset is then a complete code).
+    full = jnp.int32(1 << max_len)
+
     def fix_cond(state):
-        bl, ov = state
-        return ov > 0
+        bl, k = state
+        return k > full
 
     def fix_body(state):
-        bl, ov = state
+        bl, k = state
         lvl = jnp.arange(max_len + 1, dtype=jnp.int32)
         cand = jnp.where((lvl >= 1) & (lvl < max_len) & (bl > 0), lvl, -1)
         bits = jnp.max(cand)
         bl = bl.at[bits].add(-1)
         bl = bl.at[bits + 1].add(2)
         bl = bl.at[max_len].add(-1)
-        return bl, ov - 2
+        return bl, k - 1
 
-    bl_count, _ = jax.lax.while_loop(fix_cond, fix_body, (bl_count, overflow))
+    bl_count, _ = jax.lax.while_loop(fix_cond, fix_body, (bl_count, kraft))
 
     # Redistribute: sorted-by-freq-ascending ranks take lengths descending.
     # csum[k] = number of leaves with length > max_len - 1 - k.

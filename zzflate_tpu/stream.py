@@ -76,7 +76,12 @@ class Compressor:
             out = segs
         else:
             out = b"".join(
-                _encode_segments(payload, self.config, self._window or None)
+                _encode_segments(
+                    payload,
+                    self.config,
+                    self._window or None,
+                    stream_final=final,
+                )
             )
         self._window = (self._window + payload)[-32768:]
         return out
