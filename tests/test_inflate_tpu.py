@@ -1,0 +1,92 @@
+"""TPU-parallel inflate (speculative bit decode + pointer doubling) vs the
+zlib oracle, on indexed gzip streams produced by our encoder."""
+import zlib
+
+import numpy as np
+import pytest
+
+import zzflate_tpu as zf
+from zzflate_tpu.models import inflate_tpu
+from zzflate_tpu.utils import containers
+
+CHUNK = 4096
+
+
+def _roundtrip(data: bytes, level: int = 6) -> None:
+    out = zf.compress(
+        data, level=level, format="gzip", chunk_bytes=CHUNK, indexed=True
+    )
+    # Still a plain gzip member for standard readers.
+    assert zlib.decompress(out, wbits=31) == data
+    got = inflate_tpu.decompress_indexed(out)
+    assert got == data
+
+
+def test_text_multichunk():
+    data = (b"speculative parallel decode " * 2000)[:40000]
+    _roundtrip(data)
+
+
+def test_cross_chunk_halo_references():
+    # Period spans chunk boundaries: matches reach into the previous
+    # chunk's output (resolved through the global parent graph).
+    data = (b"0123456789abcdefgh" * 31)[:558] * 40
+    _roundtrip(data)
+
+
+def test_overlap_chains_rle():
+    # dist=1 runs build the deepest parent chains (log-depth resolution).
+    _roundtrip(b"\x00" * 50000)
+    _roundtrip(b"ab" * 30000)
+
+
+def test_stored_fallback_chunks():
+    rng = np.random.default_rng(3)
+    data = rng.integers(0, 256, size=30000, dtype=np.uint8).tobytes()
+    _roundtrip(data)
+
+
+def test_mixed_stored_and_coded():
+    rng = np.random.default_rng(4)
+    rnd = rng.integers(0, 256, size=CHUNK * 2, dtype=np.uint8).tobytes()
+    text = b"compressible text region " * 400
+    _roundtrip(rnd + text + rnd)
+
+
+def test_small_and_empty():
+    _roundtrip(b"")
+    _roundtrip(b"x")
+    _roundtrip(b"hello world")
+
+
+@pytest.mark.parametrize("level", [1, 6, 9])
+def test_levels(level):
+    data = (b"level parametrized body " * 1500)[:30000]
+    _roundtrip(data, level)
+
+
+def test_unindexed_returns_none():
+    blob = zf.compress(b"plain stream " * 100, level=6, format="gzip",
+                       chunk_bytes=CHUNK)
+    assert inflate_tpu.decompress_indexed(blob) is None
+
+
+def test_index_parse_roundtrip():
+    hdr = containers.gzip_header_indexed(CHUNK, [100, 200, 42])
+    parsed = containers.parse_gzip_index(hdr + b"\x00" * 8)
+    assert parsed is not None
+    hdr_len, cb, sizes = parsed
+    assert hdr_len == len(hdr)
+    assert cb == CHUNK
+    assert sizes == [100, 200, 42]
+
+
+def test_corrupted_crc_detected():
+    data = b"crc guarded " * 1000
+    out = bytearray(
+        zf.compress(data, level=6, format="gzip", chunk_bytes=CHUNK,
+                    indexed=True)
+    )
+    out[-5] ^= 0x01  # flip a CRC bit
+    with pytest.raises(ValueError):
+        inflate_tpu.decompress_indexed(bytes(out))

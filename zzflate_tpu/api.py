@@ -153,25 +153,40 @@ def compress(
     dictionary: bytes | None = None,
     chunk_bytes: int = cfg_mod.DEFAULT_CHUNK_BYTES,
     strategy: int = cfg_mod.STRATEGY_DEFAULT,
+    indexed: bool = False,
 ) -> bytes:
-    """One-shot compress to a zlib/gzip/raw stream (decodable by zlib)."""
+    """One-shot compress to a zlib/gzip/raw stream (decodable by zlib).
+
+    indexed=True (gzip only) adds a 'ZZ' FEXTRA subfield with the
+    per-chunk compressed sizes; the stream stays a plain gzip member for
+    every standard reader, while our TPU inflate uses the index for
+    chunk-parallel decode (models/inflate_tpu.py).
+    """
     data = bytes(data)
     config = CodecConfig(
         level=level, format=format, chunk_bytes=chunk_bytes, strategy=strategy
     )
     if dictionary is not None and format == "gzip":
         raise ValueError("gzip streams cannot carry a preset dictionary")
+    if indexed and format != "gzip":
+        raise ValueError("indexed output requires format='gzip'")
 
+    segments: list[bytes] | None = None
     if level == 0:
         payload = containers.stored_segment(data, final=True)
     else:
-        payload = b"".join(_encode_segments(data, config, dictionary))
+        segments = _encode_segments(data, config, dictionary)
+        payload = b"".join(segments)
         # Whole-stream stored fallback: per-chunk sync-flush framing adds
         # ~5 bytes/chunk, so incompressible inputs could otherwise exceed
         # compress_bound (which is chunking-independent by contract).
-        stored_whole = containers.stored_segment(data, final=True)
-        if len(stored_whole) < len(payload):
-            payload = stored_whole
+        # Indexed streams keep their per-chunk layout instead (the chunks
+        # already fall back to stored blocks individually).
+        if not indexed:
+            stored_whole = containers.stored_segment(data, final=True)
+            if len(stored_whole) < len(payload):
+                payload = stored_whole
+                segments = None
 
     if format == "raw":
         return payload
@@ -182,8 +197,14 @@ def compress(
             + payload
             + containers.zlib_trailer(_zlib.adler32(data))
         )
+    if indexed and segments is not None:
+        hdr = containers.gzip_header_indexed(
+            chunk_bytes, [len(s) for s in segments]
+        )
+    else:
+        hdr = containers.gzip_header()
     return (
-        containers.gzip_header()
+        hdr
         + payload
         + containers.gzip_trailer(_zlib.crc32(data), len(data))
     )

@@ -1,0 +1,370 @@
+"""TPU-parallel inflate for indexed gzip streams (SURVEY.md C17/M4).
+
+DEFLATE decode is bit-serial: each symbol's width is unknown until the
+previous symbol is decoded. The TPU-native answer (cf. the parallel-
+decompression literature referenced in PAPERS.md, patterns only) is:
+
+1. **Chunk parallelism.** Our encoder writes an FEXTRA 'ZZ' index with the
+   per-chunk compressed sizes (utils/containers.py), so the member splits
+   into byte-aligned segments that decode independently (the sync-flush
+   framing every chunk carries).
+2. **Speculative per-bit decode.** Inside a chunk, decode a *candidate
+   token at every bit position at once*: one LUT gather gives (symbol,
+   code bits); three more dependent gathers complete length/distance extra
+   bits. Each position learns its token's total bit width locally.
+3. **Pointer doubling.** next[p] = p + width(p) defines a successor graph;
+   the true token boundaries are the orbit of bit 0 — found in O(log n)
+   gather rounds, exactly like the encoder's parse commit (ops/matcher.py).
+4. **Parallel LZ resolution.** Committed tokens scatter their output spans
+   (start, dist) into the global output; a segmented cummax gives every
+   output byte its covering token; parent[i] = i - dist (literals are
+   roots); pointer doubling over parent resolves all copies — including
+   overlapping (dist < len) and cross-chunk (32 KiB halo) references —
+   in ceil(log2 N) gathers.
+
+Header parsing (block type, code lengths) is a few hundred serial bits per
+chunk and stays on the host; the 2^15-entry decode LUTs are built with
+numpy strided fills.
+
+Streams without a 'ZZ' index fall back to the native C decoder
+(zzflate_tpu/native). Only streams produced by this package are indexed,
+so the one-compressed-block-per-segment layout is guaranteed.
+"""
+from __future__ import annotations
+
+import functools
+import struct
+import zlib as _zlib
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from zzflate_tpu import constants as C
+from zzflate_tpu.models.inflate import BitReader, _read_dynamic_tables
+from zzflate_tpu.utils import containers
+
+_LUT_BITS = 15
+_SENTINEL = jnp.int32(1 << 30)
+
+
+# ---------------------------------------------------------------------------
+# Host: per-segment header parse + LUT build.
+# ---------------------------------------------------------------------------
+
+
+def _build_lut(lengths: np.ndarray) -> np.ndarray:
+    """(1<<15,) uint32 LUT: index = next 15 bits (LSB-first stream order),
+    value = (code_bits << 16) | symbol; 0 = invalid."""
+    lengths = np.asarray(lengths, np.int32)
+    codes = C.canonical_codes(lengths)
+    rev = C.bit_reverse(codes, lengths)
+    lut = np.zeros(1 << _LUT_BITS, np.uint32)
+    for sym in range(lengths.size):
+        ln = int(lengths[sym])
+        if ln:
+            lut[int(rev[sym]) :: 1 << ln] = (ln << 16) | sym
+    return lut
+
+
+class _SegPlan:
+    """Host-side decode plan for one indexed segment."""
+
+    __slots__ = (
+        "kind", "raw", "body_bit", "ll_lut", "d_lut", "out_bytes"
+    )
+
+    def __init__(self, kind, raw=None, body_bit=0, ll_lut=None, d_lut=None,
+                 out_bytes=0):
+        self.kind = kind  # "stored" | "coded"
+        self.raw = raw
+        self.body_bit = body_bit
+        self.ll_lut = ll_lut
+        self.d_lut = d_lut
+        self.out_bytes = out_bytes
+
+
+def _plan_segment(seg: bytes, out_bytes: int) -> _SegPlan:
+    br = BitReader(seg, 0)
+    br.bits(1)  # BFINAL (layout known from the index)
+    btype = br.bits(2)
+    if btype == 0:
+        # Stored fallback: walk byte-aligned stored blocks on the host.
+        raw = bytearray()
+        br.bitpos = 0
+        while len(raw) < out_bytes:
+            br.bits(3)
+            br.align()
+            pos = br.bitpos >> 3
+            (ln,) = struct.unpack("<H", seg[pos : pos + 2])
+            raw += seg[pos + 4 : pos + 4 + ln]
+            br.bitpos = (pos + 4 + ln) << 3
+        return _SegPlan("stored", raw=bytes(raw), out_bytes=out_bytes)
+    if btype == 1:
+        ll_len = C.fixed_litlen_lengths()
+        d_len = C.fixed_dist_lengths()
+    else:
+        ll_dec, d_dec = _read_dynamic_tables(br)
+        ll_len = _decoder_lengths(ll_dec, 288)
+        d_len = _decoder_lengths(d_dec, 30)
+    return _SegPlan(
+        "coded",
+        body_bit=br.bitpos,
+        ll_lut=_build_lut(ll_len),
+        d_lut=_build_lut(d_len),
+        out_bytes=out_bytes,
+    )
+
+
+def _decoder_lengths(dec, n: int) -> np.ndarray:
+    """Recover the per-symbol length array from a CanonicalDecoder."""
+    lengths = np.zeros(n, np.int32)
+    i = 0
+    for ln in range(1, dec.max_len + 1):
+        for _ in range(dec.counts[ln]):
+            lengths[dec.syms[i]] = ln
+            i += 1
+    return lengths
+
+
+# ---------------------------------------------------------------------------
+# Device: speculative per-bit token decode + commit.
+# ---------------------------------------------------------------------------
+
+
+def _window(words: jax.Array, bitpos: jax.Array) -> jax.Array:
+    """32-bit little-endian bit window starting at `bitpos` (clamped)."""
+    i = jnp.clip(bitpos >> 5, 0, words.shape[0] - 1)
+    sh = (bitpos & 31).astype(jnp.uint32)
+    w0 = words[i]
+    w1 = words[jnp.clip(i + 1, 0, words.shape[0] - 1)]
+    lo = w0 >> sh
+    hi = (w1 << (jnp.uint32(31) - sh)) << jnp.uint32(1)
+    return lo | hi
+
+
+def _bits(words: jax.Array, bitpos: jax.Array, n: jax.Array) -> jax.Array:
+    mask = (jnp.uint32(1) << n.astype(jnp.uint32)) - jnp.uint32(1)
+    return _window(words, bitpos) & mask
+
+
+def _make_decoder(max_bits: int):
+    """Build the jitted per-chunk speculative decoder for a static size."""
+
+    @jax.jit
+    def decode(words, ll_lut, d_lut, body_bit):
+        rel = jnp.arange(max_bits, dtype=jnp.int32)
+        p = body_bit + rel
+        lut_mask = jnp.uint32((1 << _LUT_BITS) - 1)
+
+        e = ll_lut[(_window(words, p) & lut_mask).astype(jnp.int32)]
+        sym = (e & jnp.uint32(0xFFFF)).astype(jnp.int32)
+        nb = (e >> jnp.uint32(16)).astype(jnp.int32)
+        is_lit = (sym < 256) & (nb > 0)
+        is_eob = (sym == 256) & (nb > 0)
+        is_len = (sym > 256) & (nb > 0)
+
+        lc = jnp.clip(sym - 257, 0, 28)
+        lext = jnp.take(jnp.asarray(C.LENGTH_EXTRA), lc)
+        lbase = jnp.take(jnp.asarray(C.LENGTH_BASE), lc)
+        mlen = lbase + _bits(words, p + nb, lext).astype(jnp.int32)
+
+        p2 = p + nb + lext
+        de = d_lut[(_window(words, p2) & lut_mask).astype(jnp.int32)]
+        dsym = (de & jnp.uint32(0xFFFF)).astype(jnp.int32)
+        dnb = (de >> jnp.uint32(16)).astype(jnp.int32)
+        dsym_c = jnp.clip(dsym, 0, 29)
+        dext = jnp.take(jnp.asarray(C.DIST_EXTRA), dsym_c)
+        dbase = jnp.take(jnp.asarray(C.DIST_BASE), dsym_c)
+        mdist = dbase + _bits(words, p2 + dnb, dext).astype(jnp.int32)
+
+        bad_len = is_len & ((dnb == 0) | (sym > 285) | (dsym > 29))
+        width = jnp.where(
+            is_len, nb + lext + dnb + dext, nb
+        )
+        invalid = (nb == 0) | bad_len
+        nxt = jnp.where(
+            invalid | is_eob, _SENTINEL, rel + width
+        )
+        nxt = jnp.minimum(nxt, max_bits)  # clamp into the sink slot
+        outlen = jnp.where(is_lit, 1, jnp.where(is_len, mlen, 0))
+
+        # Pointer doubling: orbit of rel=0 under nxt.
+        g = jnp.concatenate([nxt, jnp.int32(max_bits)[None]])
+        reach = jnp.zeros((max_bits + 1,), jnp.int32).at[0].set(1)
+        for _ in range(max(1, max_bits.bit_length())):
+            hopped = jnp.zeros((max_bits + 1,), jnp.int32).at[g].max(
+                reach, mode="drop"
+            )
+            reach = jnp.maximum(reach, hopped)
+            g = g[jnp.clip(g, 0, max_bits)]
+        committed = (reach[:max_bits] == 1) & ~invalid & ~is_eob
+
+        # Output offsets within the chunk.
+        step = jnp.where(committed, outlen, 0)
+        out_off = jnp.cumsum(step) - step
+        total_out = jnp.sum(step)
+        return {
+            "is_lit": is_lit & committed,
+            "is_match": (~is_lit) & committed,
+            "lit": sym,
+            "mlen": mlen,
+            "mdist": mdist,
+            "out_off": out_off,
+            "committed": committed,
+            "total_out": total_out,
+        }
+
+    return decode
+
+
+_DECODER_CACHE: dict[int, object] = {}
+
+
+def _decoder(max_bits: int):
+    if max_bits not in _DECODER_CACHE:
+        _DECODER_CACHE[max_bits] = _make_decoder(max_bits)
+    return _DECODER_CACHE[max_bits]
+
+
+# ---------------------------------------------------------------------------
+# Device: global LZ resolution.
+# ---------------------------------------------------------------------------
+
+
+def _make_resolver(n_out: int):
+    @jax.jit
+    def resolve(tok_out, tok_dist, tok_len, litval):
+        """tok_*: (T,) global token start offsets / dists (0 for literal) /
+        output lengths; litval: (N,) with literal+stored bytes pre-filled.
+        Returns the resolved (N,) uint8 output."""
+        idx = jnp.arange(n_out, dtype=jnp.int32)
+        # Segmented cummax: each output byte finds its covering token start.
+        start_mark = jnp.full((n_out,), -1, jnp.int32)
+        start_mark = start_mark.at[tok_out].max(tok_out, mode="drop")
+        seg_start = jax.lax.associative_scan(jnp.maximum, start_mark)
+        dist_at = jnp.zeros((n_out,), jnp.int32)
+        dist_at = dist_at.at[tok_out].max(tok_dist, mode="drop")
+        dist = dist_at[jnp.clip(seg_start, 0, n_out - 1)]
+        parent = jnp.where(
+            (dist > 0) & (seg_start >= 0), idx - dist, idx
+        )
+        parent = jnp.clip(parent, 0, n_out - 1)
+        # Pointer doubling to literal roots.
+        for _ in range(max(1, n_out.bit_length())):
+            parent = parent[parent]
+        return litval[parent].astype(jnp.uint8)
+
+    return resolve
+
+
+_RESOLVER_CACHE: dict[int, object] = {}
+
+
+def _resolver(n_out: int):
+    if n_out not in _RESOLVER_CACHE:
+        _RESOLVER_CACHE[n_out] = _make_resolver(n_out)
+    return _RESOLVER_CACHE[n_out]
+
+
+# ---------------------------------------------------------------------------
+# Public entry.
+# ---------------------------------------------------------------------------
+
+
+def decompress_indexed(data: bytes, verify: bool = True) -> bytes | None:
+    """Chunk-parallel decode of an indexed gzip stream on device.
+
+    Returns None if the stream carries no 'ZZ' index (caller falls back).
+    """
+    parsed = containers.parse_gzip_index(data)
+    if parsed is None:
+        return None
+    header_len, chunk_bytes, sizes = parsed
+    (crc_expect, isize) = struct.unpack("<II", data[-8:])
+    nchunks = len(sizes)
+    total_out = isize
+    # Per-chunk uncompressed sizes: chunk_bytes each, remainder in the last.
+    out_sizes = [
+        min(chunk_bytes, max(0, total_out - i * chunk_bytes))
+        for i in range(nchunks)
+    ]
+    out_starts = [i * chunk_bytes for i in range(nchunks)]
+
+    # Host: split segments, parse headers, build LUTs.
+    plans = []
+    pos = header_len
+    for i, sz in enumerate(sizes):
+        seg = data[pos : pos + sz]
+        pos += sz
+        plans.append(_plan_segment(seg, out_sizes[i]))
+
+    n_out = max(1, total_out)
+    litval = np.zeros(n_out, np.int32)
+
+    tok_out_parts, tok_dist_parts, tok_len_parts = [], [], []
+    max_bits = (chunk_bytes + 64) * 8
+    pos = header_len
+    for i, (sz, plan) in enumerate(zip(sizes, plans)):
+        seg = data[pos : pos + sz]
+        pos += sz
+        if plan.kind == "stored":
+            litval[
+                out_starts[i] : out_starts[i] + len(plan.raw)
+            ] = np.frombuffer(plan.raw, np.uint8)
+            # A dist=0 breaker token so a match segment from the previous
+            # chunk cannot bleed into this chunk's bytes in the resolver.
+            tok_out_parts.append(np.array([out_starts[i]], np.int32))
+            tok_dist_parts.append(np.zeros(1, np.int32))
+            tok_len_parts.append(np.array([len(plan.raw)], np.int32))
+            continue
+        pad = (-len(seg)) % 4 + 8
+        words = np.frombuffer(seg + b"\x00" * pad, "<u4")
+        dec = _decoder(max_bits)
+        res = dec(
+            jnp.asarray(words),
+            jnp.asarray(plan.ll_lut),
+            jnp.asarray(plan.d_lut),
+            jnp.int32(plan.body_bit),
+        )
+        committed = np.asarray(res["committed"])
+        is_lit = np.asarray(res["is_lit"])
+        out_off = np.asarray(res["out_off"]) + out_starts[i]
+        lits = np.asarray(res["lit"])
+        mlen = np.asarray(res["mlen"])
+        mdist = np.asarray(res["mdist"])
+        # Literals land directly in litval; matches become tokens.
+        lit_idx = np.nonzero(is_lit)[0]
+        litval[out_off[lit_idx]] = lits[lit_idx]
+        m_idx = np.nonzero(committed & ~is_lit)[0]
+        tok_out_parts.append(out_off[m_idx])
+        tok_dist_parts.append(mdist[m_idx])
+        tok_len_parts.append(mlen[m_idx])
+        # Literal tokens must also break copy segments:
+        tok_out_parts.append(out_off[lit_idx])
+        tok_dist_parts.append(np.zeros(len(lit_idx), np.int32))
+        tok_len_parts.append(np.ones(len(lit_idx), np.int32))
+
+    if tok_out_parts:
+        tok_out = np.concatenate(tok_out_parts).astype(np.int32)
+        tok_dist = np.concatenate(tok_dist_parts).astype(np.int32)
+        tok_len = np.concatenate(tok_len_parts).astype(np.int32)
+        resolver = _resolver(n_out)
+        out = np.asarray(
+            resolver(
+                jnp.asarray(tok_out),
+                jnp.asarray(tok_dist),
+                jnp.asarray(tok_len),
+                jnp.asarray(litval),
+            )
+        )[:total_out].tobytes()
+    else:
+        out = litval[:total_out].astype(np.uint8).tobytes()
+
+    if verify:
+        if _zlib.crc32(out) != crc_expect:
+            raise ValueError("crc32 mismatch (TPU inflate)")
+        if (len(out) & 0xFFFFFFFF) != (isize & 0xFFFFFFFF):
+            raise ValueError("isize mismatch (TPU inflate)")
+    return out

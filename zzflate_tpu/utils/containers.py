@@ -36,6 +36,55 @@ def gzip_header() -> bytes:
     return b"\x1f\x8b\x08\x00\x00\x00\x00\x00\x00\xff"
 
 
+# Indexed gzip: a 'ZZ' FEXTRA subfield carrying the per-chunk compressed
+# sizes, so a decoder can split the member into independent byte-aligned
+# segments (each sync-flush framed by the encoder) and decode them in
+# parallel on device. Any standard gzip reader skips FEXTRA, so the stream
+# stays a single valid gzip member (RFC 1952 section 2.3.1.1).
+ZZ_INDEX_VERSION = 1
+_ZZ_MAX_CHUNKS = (65535 - 4 - 10) // 4  # XLEN is u16
+
+
+def gzip_header_indexed(chunk_bytes: int, seg_sizes: list[int]) -> bytes:
+    if len(seg_sizes) > _ZZ_MAX_CHUNKS:
+        raise ValueError(
+            f"too many chunks for an FEXTRA index ({len(seg_sizes)})"
+        )
+    sub = struct.pack(
+        "<BBII", ZZ_INDEX_VERSION, 0, chunk_bytes, len(seg_sizes)
+    ) + b"".join(struct.pack("<I", s) for s in seg_sizes)
+    extra = b"ZZ" + struct.pack("<H", len(sub)) + sub
+    return (
+        b"\x1f\x8b\x08\x04\x00\x00\x00\x00\x00\xff"
+        + struct.pack("<H", len(extra))
+        + extra
+    )
+
+
+def parse_gzip_index(data: bytes) -> tuple[int, int, list[int]] | None:
+    """Returns (header_len, chunk_bytes, seg_sizes) if a ZZ index subfield
+    is present, else None."""
+    if len(data) < 10 or data[:2] != b"\x1f\x8b" or not (data[3] & 0x04):
+        return None
+    xlen = struct.unpack("<H", data[10:12])[0]
+    extra = data[12 : 12 + xlen]
+    header_len = parse_gzip_header(data)
+    pos = 0
+    while pos + 4 <= len(extra):
+        sid = extra[pos : pos + 2]
+        slen = struct.unpack("<H", extra[pos + 2 : pos + 4])[0]
+        body = extra[pos + 4 : pos + 4 + slen]
+        if sid == b"ZZ" and len(body) >= 10:
+            ver, _flags, chunk_bytes, n = struct.unpack("<BBII", body[:10])
+            if ver == ZZ_INDEX_VERSION and len(body) >= 10 + 4 * n:
+                sizes = list(
+                    struct.unpack(f"<{n}I", body[10 : 10 + 4 * n])
+                )
+                return header_len, chunk_bytes, sizes
+        pos += 4 + slen
+    return None
+
+
 def gzip_trailer(crc: int, isize: int) -> bytes:
     return struct.pack("<II", crc & 0xFFFFFFFF, isize & 0xFFFFFFFF)
 
