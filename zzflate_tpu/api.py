@@ -74,14 +74,20 @@ def _encode_segments(
     config: CodecConfig,
     dictionary: bytes | None,
     stream_final: bool = True,
-) -> list[bytes]:
+    mesh=None,
+    with_checksums: bool = False,
+) -> dict:
     """Deflate payload as byte-aligned per-chunk segments (sync-flush framed).
 
-    All chunks are encoded with the batched device graph (one dispatch per
-    _device_batch group, no host sync until every batch is in flight) and
-    stitched on the host in order. stream_final=False keeps the stream
-    open (every chunk sync-flush framed, no BFINAL) for the streaming API.
+    Two-phase pipeline: device analyze (histograms) for every batch, host
+    Huffman/header build, device emit (re-tokenize + bit-pack), host stitch
+    in order. stream_final=False keeps the stream open (every chunk
+    sync-flush framed, no BFINAL) for the streaming API. With `mesh`, each
+    batch's leading axis is laid out across the mesh devices so the same
+    jitted graphs become the multi-chip step. Returns
+    {"segments": [bytes], "adler": [u32]|None, "crc": [u32]|None}.
     """
+    import jax
     import jax.numpy as jnp
 
     chunk_bytes = config.chunk_bytes
@@ -90,13 +96,24 @@ def _encode_segments(
     huffman_only = config.strategy == cfg_mod.STRATEGY_HUFFMAN_ONLY
     fixed_only = config.strategy == cfg_mod.STRATEGY_FIXED
 
+    from zzflate_tpu.ops import huffman_host
+
     buf, valid_ends, window_starts, bfinals, nchunks = _build_chunk_batch(
         data, chunk_bytes, dictionary, mark_final=stream_final
     )
     starts = np.full((nchunks,), _WINDOW, dtype=np.int32)
 
     bsz = _device_batch(chunk_bytes)
-    results = []
+    sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        ndev = mesh.devices.size
+        bsz = ndev * max(1, bsz)
+        sharding = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+
+    batch_slices = []
+    device_batches = []
     for b0 in range(0, nchunks, bsz):
         b1 = min(b0 + bsz, nchunks)
         pad = bsz - (b1 - b0)
@@ -105,27 +122,75 @@ def _encode_segments(
         def pick(a, fill=0):
             s = a[b0:b1]
             if pad:
-                s = np.concatenate([s, np.full((pad,) + s.shape[1:], fill, s.dtype)])
+                s = np.concatenate(
+                    [s, np.full((pad,) + s.shape[1:], fill, s.dtype)]
+                )
+            if sharding is not None:
+                return jax.device_put(jnp.asarray(s), sharding)
             return jnp.asarray(s)
 
-        res = deflate_encoder.encode_chunks_batch(
+        db = (
             pick(buf),
             pick(starts, _WINDOW),
             pick(valid_ends, _WINDOW),
             pick(window_starts, _WINDOW),
-            pick(bfinals),
+        )
+        batch_slices.append((b0, b1))
+        device_batches.append(db)
+
+    # Phase 1: dispatch all analyze batches, then fetch the (tiny) freqs.
+    analyzed = [
+        deflate_encoder.analyze_chunks_batch(
+            *db, params, huffman_only=huffman_only,
+            with_checksums=with_checksums,
+        )
+        for db in device_batches
+    ]
+    # Phase 2: host table build per chunk, then dispatch all emit batches.
+    emitted = []
+    for (b0, b1), db, ana in zip(batch_slices, device_batches, analyzed):
+        freq_ll = np.asarray(ana["freq_ll"])
+        freq_d = np.asarray(ana["freq_d"])
+        tabs = [
+            huffman_host.build_tables(
+                freq_ll[j],
+                freq_d[j],
+                bfinal=int(bfinals[b0 + j]) if b0 + j < nchunks else 0,
+                fixed_only=fixed_only,
+            )
+            for j in range(bsz)
+        ]
+
+        def stack(key, dtype):
+            arr = jnp.asarray(np.stack([t[key] for t in tabs]).astype(dtype))
+            if sharding is not None:
+                arr = jax.device_put(arr, sharding)
+            return arr
+
+        res = deflate_encoder.emit_chunks_batch(
+            *db,
             params,
             out_words,
+            stack("ll_len", np.int32),
+            stack("ll_code", np.uint32),
+            stack("d_len", np.int32),
+            stack("d_code", np.uint32),
+            stack("hdr_vals", np.uint32),
+            stack("hdr_nbits", np.int32),
             huffman_only=huffman_only,
-            fixed_only=fixed_only,
         )
-        results.append(res)
+        emitted.append(res)
 
     segments: list[bytes] = []
-    for b0, res in zip(range(0, nchunks, bsz), results):
+    adlers: list[int] | None = [] if with_checksums else None
+    crcs: list[int] | None = [] if with_checksums else None
+    for (b0, b1), res, ana in zip(batch_slices, emitted, analyzed):
         words_np = np.asarray(res["words"], dtype="<u4")
         nbits_np = np.asarray(res["nbits"])
-        for j in range(min(bsz, nchunks - b0)):
+        if with_checksums:
+            adlers.extend(int(x) for x in np.asarray(ana["adler"])[: b1 - b0])
+            crcs.extend(int(x) for x in np.asarray(ana["crc"])[: b1 - b0])
+        for j in range(b1 - b0):
             i = b0 + j
             nbits = int(nbits_np[j])
             final = (i == nchunks - 1) and stream_final
@@ -143,7 +208,7 @@ def _encode_segments(
             if len(stored) < len(seg):
                 seg = stored
             segments.append(seg)
-    return segments
+    return {"segments": segments, "adler": adlers, "crc": crcs}
 
 
 def compress(
@@ -175,7 +240,7 @@ def compress(
     if level == 0:
         payload = containers.stored_segment(data, final=True)
     else:
-        segments = _encode_segments(data, config, dictionary)
+        segments = _encode_segments(data, config, dictionary)["segments"]
         payload = b"".join(segments)
         # Whole-stream stored fallback: per-chunk sync-flush framing adds
         # ~5 bytes/chunk, so incompressible inputs could otherwise exceed

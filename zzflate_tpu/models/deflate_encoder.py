@@ -311,6 +311,146 @@ encode_chunk = functools.partial(
 )(_encode_impl)
 
 
+# ---------------------------------------------------------------------------
+# Two-phase pipeline (the production path).
+#
+# The fully-fused _encode_impl is correct everywhere but slow on real TPUs:
+# the two-queue Huffman merge and the CL-RLE scan are fori_loops of ~600
+# tiny sequential steps, and sequential scalar steps cost ~ms each on TPU
+# while the entire 256 KiB match+parse stage runs in 0.1 ms. The fix is the
+# same split the reference-class codec has (tree build is negligible scalar
+# work, SURVEY.md C10): phase 1 computes token histograms on device (288+30
+# ints to host), the host builds the code tables and the dynamic header
+# field stream (microseconds of numpy), and phase 2 re-runs the cheap
+# match+parse on device and packs the bitstream with the supplied tables.
+# Recomputing the matcher costs ~0.2 ms/chunk and saves ~8 MB/chunk of HBM
+# that materializing phase-1 arrays would cost.
+# ---------------------------------------------------------------------------
+
+HDR_SLOTS = 672  # 5 fixed fields + 19 CL lengths + 2*316 RLE fields + pad
+
+
+def _tokenize(data, start, valid_end, window_start, params, huffman_only):
+    """Shared match+parse+symbol computation (device)."""
+    if huffman_only:
+        n = data.shape[0]
+        mlen = jnp.zeros((n,), jnp.int32)
+        mdist = jnp.zeros((n,), jnp.int32)
+    else:
+        mlen, mdist = matcher.find_matches(
+            data, valid_end, window_start, params.candidates
+        )
+    committed, take = matcher.parse_commit(
+        mlen,
+        mdist,
+        start,
+        valid_end,
+        lazy=params.lazy_mode,
+        max_lazy=params.max_lazy,
+        nice=params.nice,
+    )
+    is_match = take
+    lcode = jnp.take(
+        jnp.asarray(C.LENGTH_TO_CODE), jnp.clip(mlen, 0, C.MAX_MATCH),
+        mode="clip",
+    )
+    dcode = (
+        jnp.searchsorted(
+            jnp.asarray(C.DIST_BASE), jnp.maximum(mdist, 1), side="right"
+        ).astype(jnp.int32)
+        - 1
+    )
+    litlen_sym = jnp.where(is_match, 257 + lcode, data.astype(jnp.int32))
+    return committed, is_match, litlen_sym, lcode, dcode, mlen, mdist
+
+
+def _analyze_impl(data, start, valid_end, window_start, params,
+                  huffman_only=False, with_checksums=False):
+    """Phase 1: token histograms (device). Returns small arrays only."""
+    committed, is_match, litlen_sym, _, dcode, _, _ = _tokenize(
+        data, start, valid_end, window_start, params, huffman_only
+    )
+    freq_ll = huffman.histogram(litlen_sym, committed, C.NUM_LITLEN_SYMBOLS)
+    freq_d = huffman.histogram(dcode, is_match, C.NUM_DIST_SYMBOLS)
+    out = {"freq_ll": freq_ll, "freq_d": freq_d}
+    if with_checksums:
+        from zzflate_tpu.ops import checksums as cs
+
+        out["adler"] = cs._adler32_impl(data, valid_end, start)
+        out["crc"] = cs._crc32_impl(data, valid_end, start)
+    return out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("params", "huffman_only", "with_checksums")
+)
+def analyze_chunks_batch(data, starts, valid_ends, window_starts, params,
+                         huffman_only=False, with_checksums=False):
+    fn = functools.partial(
+        _analyze_impl, params=params, huffman_only=huffman_only,
+        with_checksums=with_checksums,
+    )
+    return jax.vmap(fn)(data, starts, valid_ends, window_starts)
+
+
+def _emit_impl(
+    data, start, valid_end, window_start,
+    ll_len, ll_code, d_len, d_code, hdr_vals, hdr_nbits,
+    params=None, out_words=None, huffman_only=False,
+):
+    """Phase 2: re-tokenize and pack with host-built tables (device)."""
+    committed, is_match, litlen_sym, lcode, dcode, mlen, mdist = _tokenize(
+        data, start, valid_end, window_start, params, huffman_only
+    )
+
+    lsym_safe = jnp.clip(litlen_sym, 0, C.NUM_LITLEN_SYMBOLS - 1)
+    dsym_safe = jnp.clip(dcode, 0, C.NUM_DIST_SYMBOLS - 1)
+    f0_v = ll_code[lsym_safe]
+    f0_b = jnp.where(committed, ll_len[lsym_safe], 0)
+    lext = jnp.take(jnp.asarray(C.LENGTH_EXTRA), lcode, mode="clip")
+    lbase = jnp.take(jnp.asarray(C.LENGTH_BASE), lcode, mode="clip")
+    f1_v = (mlen - lbase).astype(jnp.uint32)
+    f1_b = jnp.where(is_match, lext, 0)
+    f2_v = d_code[dsym_safe]
+    f2_b = jnp.where(is_match, d_len[dsym_safe], 0)
+    dext = jnp.take(jnp.asarray(C.DIST_EXTRA), dsym_safe, mode="clip")
+    dbase = jnp.take(jnp.asarray(C.DIST_BASE), dsym_safe, mode="clip")
+    f3_v = (mdist - dbase).astype(jnp.uint32)
+    f3_b = jnp.where(is_match, dext, 0)
+    tok_v = jnp.stack([f0_v, f1_v, f2_v, f3_v], axis=1).reshape(-1)
+    tok_b = jnp.stack([f0_b, f1_b, f2_b, f3_b], axis=1).reshape(-1)
+
+    eob_v = ll_code[C.END_OF_BLOCK][None]
+    eob_b = ll_len[C.END_OF_BLOCK][None]
+
+    values = jnp.concatenate([hdr_vals.astype(jnp.uint32), tok_v, eob_v])
+    nbits = jnp.concatenate([hdr_nbits, tok_b, eob_b]).astype(jnp.int32)
+    words, total_bits = bitpack.pack_fields(values, nbits, out_words)
+    return {
+        "words": words,
+        "nbits": total_bits,
+        "ntokens": jnp.sum(committed.astype(jnp.int32)),
+    }
+
+
+@functools.partial(
+    jax.jit, static_argnames=("params", "out_words", "huffman_only")
+)
+def emit_chunks_batch(
+    data, starts, valid_ends, window_starts, params, out_words,
+    ll_len, ll_code, d_len, d_code, hdr_vals, hdr_nbits,
+    huffman_only=False,
+):
+    fn = functools.partial(
+        _emit_impl, params=params, out_words=out_words,
+        huffman_only=huffman_only,
+    )
+    return jax.vmap(fn)(
+        data, starts, valid_ends, window_starts,
+        ll_len, ll_code, d_len, d_code, hdr_vals, hdr_nbits,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(

@@ -1,7 +1,3 @@
-from zzflate_tpu.parallel.sharded import (
-    compress_sharded,
-    encode_chunks_mesh,
-    make_mesh,
-)
+from zzflate_tpu.parallel.sharded import compress_sharded, make_mesh
 
-__all__ = ["compress_sharded", "encode_chunks_mesh", "make_mesh"]
+__all__ = ["compress_sharded", "make_mesh"]

@@ -81,7 +81,7 @@ class Compressor:
                     self.config,
                     self._window or None,
                     stream_final=final,
-                )
+                )["segments"]
             )
         self._window = (self._window + payload)[-32768:]
         return out
