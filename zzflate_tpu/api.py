@@ -168,8 +168,13 @@ def _encode_segments(
             return arr
 
         res = deflate_encoder.emit_chunks_batch(
-            *db,
-            params,
+            {
+                k: ana[k]
+                for k in (
+                    "committed", "is_match", "litlen_sym", "lcode",
+                    "dcode", "mlen", "mdist",
+                )
+            },
             out_words,
             stack("ll_len", np.int32),
             stack("ll_code", np.uint32),
@@ -177,7 +182,6 @@ def _encode_segments(
             stack("d_code", np.uint32),
             stack("hdr_vals", np.uint32),
             stack("hdr_nbits", np.int32),
-            huffman_only=huffman_only,
         )
         emitted.append(res)
 
@@ -185,8 +189,14 @@ def _encode_segments(
     adlers: list[int] | None = [] if with_checksums else None
     crcs: list[int] | None = [] if with_checksums else None
     for (b0, b1), res, ana in zip(batch_slices, emitted, analyzed):
-        words_np = np.asarray(res["words"], dtype="<u4")
+        # Fetch the bit counts first, then only the used prefix of the
+        # word buffers (device->host bandwidth is the scarce resource;
+        # the padded buffers are ~2.5x the compressed size).
         nbits_np = np.asarray(res["nbits"])
+        max_used = min(
+            out_words, int((nbits_np.max() + 3 + 31) // 32) + 1
+        )
+        words_np = np.asarray(res["words"][:, :max_used], dtype="<u4")
         if with_checksums:
             adlers.extend(int(x) for x in np.asarray(ana["adler"])[: b1 - b0])
             crcs.extend(int(x) for x in np.asarray(ana["crc"])[: b1 - b0])

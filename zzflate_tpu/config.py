@@ -31,15 +31,15 @@ class LevelParams:
 
 # level -> params; level 0 is stored-only (handled in the container layer).
 LEVELS: dict[int, LevelParams] = {
-    1: LevelParams(1, False, 4, 4, 8, 4, 2),
-    2: LevelParams(2, False, 4, 5, 16, 8, 2),
-    3: LevelParams(3, False, 4, 6, 32, 32, 4),
-    4: LevelParams(4, True, 4, 4, 16, 16, 4),
-    5: LevelParams(5, True, 8, 16, 32, 32, 4),
-    6: LevelParams(6, True, 8, 16, 128, 128, 8),
-    7: LevelParams(7, True, 8, 32, 128, 256, 8),
-    8: LevelParams(8, True, 32, 128, 258, 1024, 12),
-    9: LevelParams(9, True, 32, 258, 258, 4096, 16),
+    1: LevelParams(1, False, 4, 4, 8, 4, 4),
+    2: LevelParams(2, False, 4, 5, 16, 8, 6),
+    3: LevelParams(3, False, 4, 6, 32, 32, 8),
+    4: LevelParams(4, True, 4, 4, 16, 16, 8),
+    5: LevelParams(5, True, 8, 16, 32, 32, 12),
+    6: LevelParams(6, True, 8, 16, 128, 128, 16),
+    7: LevelParams(7, True, 8, 32, 128, 256, 20),
+    8: LevelParams(8, True, 32, 128, 258, 1024, 24),
+    9: LevelParams(9, True, 32, 258, 258, 4096, 32),
 }
 
 # Encoding strategies (zlib.h:196-200 contract).

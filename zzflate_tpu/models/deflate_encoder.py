@@ -366,13 +366,27 @@ def _tokenize(data, start, valid_end, window_start, params, huffman_only):
 
 def _analyze_impl(data, start, valid_end, window_start, params,
                   huffman_only=False, with_checksums=False):
-    """Phase 1: token histograms (device). Returns small arrays only."""
-    committed, is_match, litlen_sym, _, dcode, _, _ = _tokenize(
+    """Phase 1 (device): match+parse+histograms.
+
+    The small freq arrays go to the host for the table build; the big
+    per-position arrays stay device-resident and feed phase 2 directly
+    (match finding is the dominant cost — never recompute it)."""
+    committed, is_match, litlen_sym, lcode, dcode, mlen, mdist = _tokenize(
         data, start, valid_end, window_start, params, huffman_only
     )
     freq_ll = huffman.histogram(litlen_sym, committed, C.NUM_LITLEN_SYMBOLS)
     freq_d = huffman.histogram(dcode, is_match, C.NUM_DIST_SYMBOLS)
-    out = {"freq_ll": freq_ll, "freq_d": freq_d}
+    out = {
+        "freq_ll": freq_ll,
+        "freq_d": freq_d,
+        "committed": committed,
+        "is_match": is_match,
+        "litlen_sym": litlen_sym,
+        "lcode": lcode,
+        "dcode": dcode,
+        "mlen": mlen,
+        "mdist": mdist,
+    }
     if with_checksums:
         from zzflate_tpu.ops import checksums as cs
 
@@ -394,15 +408,11 @@ def analyze_chunks_batch(data, starts, valid_ends, window_starts, params,
 
 
 def _emit_impl(
-    data, start, valid_end, window_start,
+    committed, is_match, litlen_sym, lcode, dcode, mlen, mdist,
     ll_len, ll_code, d_len, d_code, hdr_vals, hdr_nbits,
-    params=None, out_words=None, huffman_only=False,
+    out_words=None,
 ):
-    """Phase 2: re-tokenize and pack with host-built tables (device)."""
-    committed, is_match, litlen_sym, lcode, dcode, mlen, mdist = _tokenize(
-        data, start, valid_end, window_start, params, huffman_only
-    )
-
+    """Phase 2: pack the phase-1 token arrays with host-built tables."""
     lsym_safe = jnp.clip(litlen_sym, 0, C.NUM_LITLEN_SYMBOLS - 1)
     dsym_safe = jnp.clip(dcode, 0, C.NUM_DIST_SYMBOLS - 1)
     f0_v = ll_code[lsym_safe]
@@ -433,20 +443,17 @@ def _emit_impl(
     }
 
 
-@functools.partial(
-    jax.jit, static_argnames=("params", "out_words", "huffman_only")
-)
+@functools.partial(jax.jit, static_argnames=("out_words",))
 def emit_chunks_batch(
-    data, starts, valid_ends, window_starts, params, out_words,
+    analysis, out_words,
     ll_len, ll_code, d_len, d_code, hdr_vals, hdr_nbits,
-    huffman_only=False,
 ):
-    fn = functools.partial(
-        _emit_impl, params=params, out_words=out_words,
-        huffman_only=huffman_only,
-    )
+    """Phase 2, batched: consumes the phase-1 output dict directly."""
+    fn = functools.partial(_emit_impl, out_words=out_words)
     return jax.vmap(fn)(
-        data, starts, valid_ends, window_starts,
+        analysis["committed"], analysis["is_match"], analysis["litlen_sym"],
+        analysis["lcode"], analysis["dcode"], analysis["mlen"],
+        analysis["mdist"],
         ll_len, ll_code, d_len, d_code, hdr_vals, hdr_nbits,
     )
 

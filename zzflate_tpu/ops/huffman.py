@@ -214,6 +214,14 @@ def canonical_codes(lengths: jax.Array, max_len: int) -> jax.Array:
 
 
 def histogram(symbols: jax.Array, valid: jax.Array, n: int) -> jax.Array:
-    """Masked bincount of `symbols` where `valid`, into `n` bins (int32)."""
-    idx = jnp.where(valid, symbols, 0).astype(jnp.int32)
-    return jnp.zeros((n,), jnp.int32).at[idx].add(valid.astype(jnp.int32))
+    """Masked bincount of `symbols` where `valid`, into `n` bins (int32).
+
+    Computed as a comparison + axis reduction rather than a scatter-add:
+    colliding-index scatters serialize on TPU, while the (N, n) compare
+    fuses into the reduction on the VPU without materializing.
+    """
+    idx = jnp.where(valid, symbols, -1).astype(jnp.int32)
+    bins = jnp.arange(n, dtype=jnp.int32)
+    return jnp.sum(
+        (idx[:, None] == bins[None, :]).astype(jnp.int32), axis=0
+    )
