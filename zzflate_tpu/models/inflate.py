@@ -176,7 +176,10 @@ def inflate_raw(
 
 
 def _inflate_raw_fast(
-    data: bytes, dictionary: bytes = b"", bitpos: int = 0
+    data: bytes,
+    dictionary: bytes = b"",
+    bitpos: int = 0,
+    out_hint: int | None = None,
 ) -> tuple[bytes, int]:
     """Raw-deflate decode via the native runtime when available, else the
     Python reference decoder above (identical contract)."""
@@ -184,7 +187,10 @@ def _inflate_raw_fast(
         from zzflate_tpu import native
 
         if native.lib() is not None:
-            return native.inflate_raw(data, dictionary, bitpos)
+            return native.inflate_raw(
+                data, dictionary, bitpos,
+                out_cap_hint=(out_hint + 64) if out_hint else None,
+            )
     except (ImportError, RuntimeError):
         pass
     return inflate_raw(data, dictionary, bitpos)
@@ -209,7 +215,8 @@ def decompress(
         return out
     if format == "gzip":
         hdr_len = containers.parse_gzip_header(data)
-        out, endbit = _inflate_raw_fast(data, b"", hdr_len * 8)
+        isize = struct.unpack("<I", data[-4:])[0] if len(data) >= 8 else None
+        out, endbit = _inflate_raw_fast(data, b"", hdr_len * 8, out_hint=isize)
         endbyte = (endbit + 7) >> 3
         crc, isize = struct.unpack("<II", data[endbyte : endbyte + 8])
         if _zlib.crc32(out) != crc:

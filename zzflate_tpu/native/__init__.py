@@ -127,7 +127,10 @@ def inflate_raw(
             0,
         )
         if rc == OK:
-            return buf.raw[dlen : dlen + out_len.value], end_bit.value
+            out = ctypes.string_at(
+                ctypes.addressof(buf) + dlen, out_len.value
+            )
+            return out, end_bit.value
         if rc == -6:  # output full: grow and retry
             cap *= 4
             continue

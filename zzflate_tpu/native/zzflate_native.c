@@ -45,6 +45,16 @@ static void br_init(bits_t *b, const uint8_t *in, size_t in_len,
 }
 
 static inline void br_refill(bits_t *b) {
+  if (b->n <= 56 && (size_t)(b->end - b->p) >= 8) {
+    /* Branch-free bulk refill: one 64-bit load tops the accumulator up
+     * to >= 56 valid bits; the cursor advances by the bytes consumed. */
+    uint64_t chunk;
+    memcpy(&chunk, b->p, 8);
+    b->acc |= chunk << b->n;
+    b->p += (63 - b->n) >> 3;
+    b->n |= 56;
+    return;
+  }
   while (b->n <= 56 && b->p < b->end) {
     b->acc |= (uint64_t)(*b->p++) << b->n;
     b->n += 8;
@@ -78,10 +88,17 @@ static void br_align(bits_t *b) {
 
 /* ---------------- Huffman decode tables ---------------- */
 
-/* entry: (bits<<16) | sym ; 0 == invalid */
+/* Two-level decode table: a ROOT_BITS-wide root plus per-prefix
+ * subtables for codes longer than ROOT_BITS. Root + pool fit in L1
+ * (a flat 15-bit table is 128 KiB and misses constantly).
+ * entry: (bits<<16) | sym ; bit 31 set => subtable link:
+ *        0x80000000 | (subbits<<16) | pool_offset. 0 == invalid. */
+#define ROOT_BITS 10
+#define POOL_SIZE 4096
+
 typedef struct {
-  uint32_t table[1 << 15];
-  int bits; /* table index width == max code length */
+  uint32_t root[1 << ROOT_BITS];
+  uint32_t pool[POOL_SIZE];
 } htab_t;
 
 static int build_table(const uint8_t *lens, int n, htab_t *t) {
@@ -92,11 +109,8 @@ static int build_table(const uint8_t *lens, int n, htab_t *t) {
     count[lens[i]]++;
     if (lens[i] > max_len) max_len = lens[i];
   }
-  if (max_len == 0) { /* empty alphabet: legal for distance-free blocks */
-    t->bits = 1;
-    memset(t->table, 0, sizeof(uint32_t) << 1);
-    return ZZT_OK;
-  }
+  memset(t->root, 0, sizeof(t->root));
+  if (max_len == 0) return ZZT_OK; /* empty: legal for dist-free blocks */
   /* Kraft check: over-subscribed is an error; incomplete is legal only in
    * the 1-code case (DEFLATE allows a single distance code of length 1). */
   {
@@ -112,26 +126,69 @@ static int build_table(const uint8_t *lens, int n, htab_t *t) {
     code = (code + count[l - 1]) << 1;
     first[l] = code;
   }
-  t->bits = max_len;
-  memset(t->table, 0, sizeof(uint32_t) << max_len);
   int next[16];
   memcpy(next, first, sizeof(next));
+
+  if (max_len > ROOT_BITS) {
+    /* Pass 1: per-root-prefix deepest long code => subtable sizes. */
+    uint8_t subbits[1 << ROOT_BITS];
+    memset(subbits, 0, sizeof(subbits));
+    int tmp[16];
+    memcpy(tmp, first, sizeof(tmp));
+    for (i = 0; i < n; i++) {
+      l = lens[i];
+      if (l <= ROOT_BITS) {
+        if (l) tmp[l]++;
+        continue;
+      }
+      uint32_t c = (uint32_t)tmp[l]++;
+      uint32_t r = 0;
+      for (int k = 0; k < l; k++) r |= ((c >> k) & 1u) << (l - 1 - k);
+      uint32_t ridx = r & ((1u << ROOT_BITS) - 1);
+      if (l - ROOT_BITS > subbits[ridx]) subbits[ridx] = (uint8_t)(l - ROOT_BITS);
+    }
+    uint32_t pool_used = 0;
+    for (i = 0; i < (1 << ROOT_BITS); i++) {
+      if (subbits[i]) {
+        if (pool_used + (1u << subbits[i]) > POOL_SIZE) return ZZT_E_TABLE;
+        t->root[i] = 0x80000000u | ((uint32_t)subbits[i] << 16) | pool_used;
+        memset(t->pool + pool_used, 0, sizeof(uint32_t) << subbits[i]);
+        pool_used += 1u << subbits[i];
+      }
+    }
+  }
+
   for (i = 0; i < n; i++) {
     l = lens[i];
     if (!l) continue;
     uint32_t c = (uint32_t)next[l]++;
-    /* bit-reverse the l-bit code (codes are MSB-first on the wire) */
     uint32_t r = 0;
     for (int k = 0; k < l; k++) r |= ((c >> k) & 1u) << (l - 1 - k);
     uint32_t e = ((uint32_t)l << 16) | (uint32_t)i;
-    for (uint32_t idx = r; idx < (1u << max_len); idx += 1u << l)
-      t->table[idx] = e;
+    if (l <= ROOT_BITS) {
+      for (uint32_t idx = r; idx < (1u << ROOT_BITS); idx += 1u << l)
+        t->root[idx] = e;
+    } else {
+      uint32_t ridx = r & ((1u << ROOT_BITS) - 1);
+      uint32_t link = t->root[ridx];
+      uint32_t sb = (link >> 16) & 0x7FFF;
+      uint32_t base = link & 0xFFFF;
+      for (uint32_t idx = r >> ROOT_BITS; idx < (1u << sb);
+           idx += 1u << (l - ROOT_BITS))
+        t->pool[base + idx] = e;
+    }
   }
   return ZZT_OK;
 }
 
 static inline int decode_sym(bits_t *b, const htab_t *t) {
-  uint32_t e = t->table[br_peek(b, t->bits)];
+  br_refill(b);
+  uint32_t bits = (uint32_t)(b->acc & 0x7FFF);
+  uint32_t e = t->root[bits & ((1u << ROOT_BITS) - 1)];
+  if (e & 0x80000000u) {
+    uint32_t sb = (e >> 16) & 0x7FFF;
+    e = t->pool[(e & 0xFFFF) + ((bits >> ROOT_BITS) & ((1u << sb) - 1))];
+  }
   if (!e) return -1;
   br_consume(b, (int)(e >> 16));
   return (int)(e & 0xFFFF);
@@ -249,21 +306,68 @@ int zzt_inflate(const uint8_t *in, size_t in_len, size_t start_bit,
       return ZZT_E_BTYPE;
     }
 
+    /* Hot token loop: one refill covers a full token (litlen <=15 +
+     * len-extra <=5 + dist <=15 + dist-extra <=13 = 48 bits), so all
+     * field extraction runs on the local accumulator without branches. */
     for (;;) {
-      int s = decode_sym(&b, ll);
-      if (s < 0) return ZZT_E_SYMBOL;
+      uint32_t e, s, len, dist;
+      br_refill(&b);
+      if (b.n < 48 && (size_t)(b.end - b.p) < 8 && br_pos(&b) > in_len * 8)
+        return ZZT_E_INPUT;
+      e = ll->root[(uint32_t)b.acc & ((1u << ROOT_BITS) - 1)];
+      if (e & 0x80000000u) {
+        uint32_t sb = (e >> 16) & 0x7FFF;
+        e = ll->pool[(e & 0xFFFF) +
+                     (((uint32_t)b.acc >> ROOT_BITS) & ((1u << sb) - 1))];
+      }
+      if (!e) return ZZT_E_SYMBOL;
+      b.acc >>= (e >> 16);
+      b.n -= (int)(e >> 16);
+      s = e & 0xFFFF;
       if (s < 256) {
         if (w >= out_cap) return ZZT_E_OUTFULL;
         out[w++] = (uint8_t)s;
-      } else if (s == 256) {
-        break;
-      } else {
+        /* Literal burst: keep decoding literals from the same refill
+         * while >=15 accumulator bits remain (a code is <=15 bits). */
+        while (b.n >= 15) {
+          e = ll->root[(uint32_t)b.acc & ((1u << ROOT_BITS) - 1)];
+          if (e & 0x80000000u) {
+            uint32_t sb = (e >> 16) & 0x7FFF;
+            e = ll->pool[(e & 0xFFFF) +
+                         (((uint32_t)b.acc >> ROOT_BITS) & ((1u << sb) - 1))];
+          }
+          if (!e || (e & 0xFFFF) >= 256) break;
+          if (w >= out_cap) return ZZT_E_OUTFULL;
+          b.acc >>= (e >> 16);
+          b.n -= (int)(e >> 16);
+          out[w++] = (uint8_t)(e & 0xFFFF);
+        }
+        continue;
+      }
+      if (s == 256) break;
+      {
         s -= 257;
         if (s >= 29) return ZZT_E_SYMBOL;
-        uint32_t len = LBASE[s] + br_get(&b, LEXT[s]);
-        int ds = decode_sym(&b, dd);
-        if (ds < 0 || ds >= 30) return ZZT_E_SYMBOL;
-        uint32_t dist = DBASE[ds] + br_get(&b, DEXT[ds]);
+        len = LBASE[s] + ((uint32_t)b.acc & ((1u << LEXT[s]) - 1));
+        b.acc >>= LEXT[s];
+        b.n -= LEXT[s];
+        {
+        int ds;
+        e = dd->root[(uint32_t)b.acc & ((1u << ROOT_BITS) - 1)];
+        if (e & 0x80000000u) {
+          uint32_t sb = (e >> 16) & 0x7FFF;
+          e = dd->pool[(e & 0xFFFF) +
+                       (((uint32_t)b.acc >> ROOT_BITS) & ((1u << sb) - 1))];
+        }
+        if (!e) return ZZT_E_SYMBOL;
+        b.acc >>= (e >> 16);
+        b.n -= (int)(e >> 16);
+        ds = (int)(e & 0xFFFF);
+        if (ds >= 30) return ZZT_E_SYMBOL;
+        dist = DBASE[ds] + ((uint32_t)b.acc & ((1u << DEXT[ds]) - 1));
+        b.acc >>= DEXT[ds];
+        b.n -= DEXT[ds];
+        }
         if (dist > w) return ZZT_E_DIST;
         if (w + len > out_cap) return ZZT_E_OUTFULL;
         {
@@ -273,9 +377,29 @@ int zzt_inflate(const uint8_t *in, size_t in_len, size_t start_bit,
             memcpy(dst, src, len);
           } else if (dist == 1) {
             memset(dst, src[0], len);
-          } else {
+          } else if (dist >= 8 && w + ((len + 7u) & ~7u) <= out_cap) {
+            /* Overlapping but with >= 8 bytes of slack: 8-byte strides
+             * never read bytes written in the same stride. The rounded
+             * tail stays inside out_cap (checked) and is overwritten by
+             * the next token. */
             uint32_t k = 0;
-            for (; k < len; k++) dst[k] = src[k]; /* overlapped semantics */
+            do {
+              memcpy(dst + k, src + k, 8);
+              k += 8;
+            } while (k < len);
+          } else {
+            /* Small period: copy one period, then grow by doubling.
+             * Each memcpy source [0,c) and target [filled,filled+c) are
+             * disjoint (c <= filled), and `filled` stays a multiple of
+             * dist except possibly on the final tail copy, which is
+             * phase-aligned anyway. */
+            uint32_t filled, c;
+            for (filled = 0; filled < dist; filled++) dst[filled] = src[filled];
+            while (filled < len) {
+              c = filled < len - filled ? filled : len - filled;
+              memcpy(dst + filled, dst, c);
+              filled += c;
+            }
           }
           w += len;
         }
