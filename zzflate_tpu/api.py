@@ -139,10 +139,12 @@ def _encode_segments(
         device_batches.append(db)
 
     # Phase 1: dispatch all analyze batches, then fetch the (tiny) freqs.
+    max_dist = min(32768, 1 << config.window_bits)
     analyzed = [
         deflate_encoder.analyze_chunks_batch(
             *db, params, huffman_only=huffman_only,
             with_checksums=with_checksums,
+            strategy=config.strategy, max_dist=max_dist,
         )
         for db in device_batches
     ]
@@ -229,17 +231,20 @@ def compress(
     chunk_bytes: int = cfg_mod.DEFAULT_CHUNK_BYTES,
     strategy: int = cfg_mod.STRATEGY_DEFAULT,
     indexed: bool = False,
+    window_bits: int = 15,
 ) -> bytes:
     """One-shot compress to a zlib/gzip/raw stream (decodable by zlib).
 
     indexed=True (gzip only) adds a 'ZZ' FEXTRA subfield with the
     per-chunk compressed sizes; the stream stays a plain gzip member for
     every standard reader, while our TPU inflate uses the index for
-    chunk-parallel decode (models/inflate_tpu.py).
+    chunk-parallel decode (models/inflate_tpu.py). window_bits 8..15
+    bounds match distances to 2^window_bits (zlib.h:551-556 contract).
     """
     data = bytes(data)
     config = CodecConfig(
-        level=level, format=format, chunk_bytes=chunk_bytes, strategy=strategy
+        level=level, format=format, chunk_bytes=chunk_bytes,
+        strategy=strategy, window_bits=window_bits,
     )
     if dictionary is not None and format == "gzip":
         raise ValueError("gzip streams cannot carry a preset dictionary")
@@ -268,7 +273,7 @@ def compress(
     if format == "zlib":
         dictid = _zlib.adler32(dictionary) if dictionary is not None else None
         return (
-            containers.zlib_header(level, dictid)
+            containers.zlib_header(level, dictid, config.window_bits)
             + payload
             + containers.zlib_trailer(_zlib.adler32(data))
         )

@@ -330,8 +330,15 @@ encode_chunk = functools.partial(
 HDR_SLOTS = 672  # 5 fixed fields + 19 CL lengths + 2*316 RLE fields + pad
 
 
-def _tokenize(data, start, valid_end, window_start, params, huffman_only):
-    """Shared match+parse+symbol computation (device)."""
+def _tokenize(data, start, valid_end, window_start, params, huffman_only,
+              strategy=0, max_dist=32768):
+    """Shared match+parse+symbol computation (device).
+
+    strategy follows the zlib.h:196-200 contract (SURVEY.md C20):
+    2=HUFFMAN_ONLY (no matches, handled via huffman_only), 3=RLE (dist-1
+    matches only), 1=FILTERED (drop short matches). max_dist < 32768
+    implements reduced windowBits by post-filtering far matches.
+    """
     if huffman_only:
         n = data.shape[0]
         mlen = jnp.zeros((n,), jnp.int32)
@@ -340,6 +347,15 @@ def _tokenize(data, start, valid_end, window_start, params, huffman_only):
         mlen, mdist = matcher.find_matches(
             data, valid_end, window_start, params.candidates
         )
+        drop = jnp.zeros_like(mlen, dtype=bool)
+        if strategy == 3:  # Z_RLE: only run matches at distance one
+            drop = drop | (mdist != 1)
+        elif strategy == 1:  # Z_FILTERED: skip short matches
+            drop = drop | (mlen < 5)
+        if max_dist < 32768:
+            drop = drop | (mdist > max_dist)
+        mlen = jnp.where(drop, 0, mlen)
+        mdist = jnp.where(drop, 0, mdist)
     committed, take = matcher.parse_commit(
         mlen,
         mdist,
@@ -365,14 +381,16 @@ def _tokenize(data, start, valid_end, window_start, params, huffman_only):
 
 
 def _analyze_impl(data, start, valid_end, window_start, params,
-                  huffman_only=False, with_checksums=False):
+                  huffman_only=False, with_checksums=False,
+                  strategy=0, max_dist=32768):
     """Phase 1 (device): match+parse+histograms.
 
     The small freq arrays go to the host for the table build; the big
     per-position arrays stay device-resident and feed phase 2 directly
     (match finding is the dominant cost — never recompute it)."""
     committed, is_match, litlen_sym, lcode, dcode, mlen, mdist = _tokenize(
-        data, start, valid_end, window_start, params, huffman_only
+        data, start, valid_end, window_start, params, huffman_only,
+        strategy, max_dist,
     )
     freq_ll = huffman.histogram(litlen_sym, committed, C.NUM_LITLEN_SYMBOLS)
     freq_d = huffman.histogram(dcode, is_match, C.NUM_DIST_SYMBOLS)
@@ -396,13 +414,17 @@ def _analyze_impl(data, start, valid_end, window_start, params,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("params", "huffman_only", "with_checksums")
+    jax.jit,
+    static_argnames=(
+        "params", "huffman_only", "with_checksums", "strategy", "max_dist"
+    ),
 )
 def analyze_chunks_batch(data, starts, valid_ends, window_starts, params,
-                         huffman_only=False, with_checksums=False):
+                         huffman_only=False, with_checksums=False,
+                         strategy=0, max_dist=32768):
     fn = functools.partial(
         _analyze_impl, params=params, huffman_only=huffman_only,
-        with_checksums=with_checksums,
+        with_checksums=with_checksums, strategy=strategy, max_dist=max_dist,
     )
     return jax.vmap(fn)(data, starts, valid_ends, window_starts)
 

@@ -214,16 +214,27 @@ def decompress(
             raise ValueError("adler32 mismatch")
         return out
     if format == "gzip":
-        hdr_len = containers.parse_gzip_header(data)
-        isize = struct.unpack("<I", data[-4:])[0] if len(data) >= 8 else None
-        out, endbit = _inflate_raw_fast(data, b"", hdr_len * 8, out_hint=isize)
-        endbyte = (endbit + 7) >> 3
-        crc, isize = struct.unpack("<II", data[endbyte : endbyte + 8])
-        if _zlib.crc32(out) != crc:
-            raise ValueError("crc32 mismatch")
-        if (len(out) & 0xFFFFFFFF) != isize:
-            raise ValueError("isize mismatch")
-        return out
+        # Multi-member streams (RFC 1952 section 2.2: members simply
+        # concatenate) decode to the concatenation of their contents.
+        parts = []
+        pos = 0
+        while pos < len(data):
+            member = data[pos:]
+            hdr_len = containers.parse_gzip_header(member)
+            out, endbit = _inflate_raw_fast(member, b"", hdr_len * 8)
+            endbyte = (endbit + 7) >> 3
+            crc, isize = struct.unpack(
+                "<II", member[endbyte : endbyte + 8]
+            )
+            if _zlib.crc32(out) != crc:
+                raise ValueError("crc32 mismatch")
+            if (len(out) & 0xFFFFFFFF) != isize:
+                raise ValueError("isize mismatch")
+            parts.append(out)
+            pos += endbyte + 8
+            if pos < len(data) and data[pos : pos + 2] != b"\x1f\x8b":
+                break  # trailing garbage is tolerated (gzip(1) behavior)
+        return b"".join(parts)
     if format == "raw":
         out, _ = _inflate_raw_fast(data, dictionary or b"")
         return out

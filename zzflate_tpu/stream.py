@@ -111,6 +111,21 @@ class Compressor:
             out += seg
         return bytes(out)
 
+    def set_params(
+        self, level: int | None = None, strategy: int | None = None
+    ) -> bytes:
+        """Re-tune compression mid-stream (the deflateParams contract,
+        zlib.h:705): pending input is flushed with the OLD parameters at a
+        sync-flush point, then later input uses the new ones."""
+        out = self.flush(Z_SYNC_FLUSH)
+        self.config = CodecConfig(
+            level=self.config.level if level is None else level,
+            format=self.config.format,
+            chunk_bytes=self.config.chunk_bytes,
+            strategy=self.config.strategy if strategy is None else strategy,
+        )
+        return out
+
     def flush(self, mode: int = Z_SYNC_FLUSH) -> bytes:
         if self._finished:
             raise ValueError("stream already finished")

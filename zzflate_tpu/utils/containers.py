@@ -13,8 +13,10 @@ from zzflate_tpu.ops.checksums import adler32_combine, crc32_combine
 ZLIB_FLEVEL = {0: 0, 1: 0, 2: 1, 3: 1, 4: 1, 5: 1, 6: 2, 7: 3, 8: 3, 9: 3}
 
 
-def zlib_header(level: int, dictid: int | None = None) -> bytes:
-    cmf = 0x78  # CM=8 (deflate), CINFO=7 (32 KiB window)
+def zlib_header(
+    level: int, dictid: int | None = None, window_bits: int = 15
+) -> bytes:
+    cmf = ((window_bits - 8) << 4) | 8  # CM=8 (deflate), CINFO=log2(win)-8
     flg = ZLIB_FLEVEL.get(level, 2) << 6
     if dictid is not None:
         flg |= 0x20
