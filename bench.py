@@ -84,10 +84,23 @@ def main() -> None:
     best = min(times)
     mbps = mb / best
 
+    # Decode-side numbers (stderr detail): native C path + TPU indexed path.
+    t0 = time.perf_counter()
+    back = zf.decompress(out, format="gzip")
+    dec_native = mb / (time.perf_counter() - t0)
+    assert back == data
+    sl = data[: 2 << 20]
+    oi = zf.compress(sl, level=LEVEL, format="gzip", chunk_bytes=CHUNK_BYTES,
+                     indexed=True)
+    t0 = time.perf_counter()
+    assert zf.decompress(oi, format="gzip", engine="tpu") == sl
+    dec_tpu = len(sl) / 1e6 / (time.perf_counter() - t0)
+
     print(
         f"corpus={len(data)}B ours={len(out)}B ratio={len(data)/len(out):.3f} "
         f"zlib6={len(zref)}B ratio={len(data)/len(zref):.3f} "
-        f"times={['%.2f' % t for t in times]} zlib6_enc={zlib_mbps:.1f}MB/s",
+        f"times={['%.2f' % t for t in times]} zlib6_enc={zlib_mbps:.1f}MB/s "
+        f"dec_native={dec_native:.0f}MB/s dec_tpu={dec_tpu:.2f}MB/s",
         file=sys.stderr,
     )
     print(

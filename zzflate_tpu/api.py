@@ -291,7 +291,22 @@ def compress(
 
 
 def decompress(
-    data: bytes, format: str = "zlib", dictionary: bytes | None = None
+    data: bytes,
+    format: str = "zlib",
+    dictionary: bytes | None = None,
+    engine: str = "native",
 ) -> bytes:
-    """One-shot decompress (our own inflate; checksum-verified)."""
-    return inflate.decompress(bytes(data), format=format, dictionary=dictionary)
+    """One-shot decompress (our own inflate; checksum-verified).
+
+    engine="native" uses the C decoder (host); engine="tpu" decodes
+    indexed gzip streams chunk-parallel on device (models/inflate_tpu),
+    falling back to native for unindexed streams.
+    """
+    data = bytes(data)
+    if engine == "tpu" and format == "gzip":
+        from zzflate_tpu.models import inflate_tpu
+
+        out = inflate_tpu.decompress_indexed(data)
+        if out is not None:
+            return out
+    return inflate.decompress(data, format=format, dictionary=dictionary)
