@@ -109,7 +109,7 @@ def find_matches(
     w = _pack_words(data)
     srank = jnp.arange(n, dtype=jnp.int32)
 
-    def scan_order(order, best_len, best_dist, k_each):
+    def scan_order(order, best_len, best_dist, k_each, backward_only=False):
         """Score K neighbors (both directions) of one suffix order.
 
         A previous occurrence with a long common prefix may sit on either
@@ -151,6 +151,8 @@ def find_matches(
             )
             s_len, s_dist = consider(s_len, s_dist, back_min, dist, ok)
 
+            if backward_only:
+                continue
             fwd_min = jnp.minimum(fwd_min, jnp.roll(adj, -k))
             cpos = jnp.roll(spos, -k)
             dist = spos - cpos
@@ -181,9 +183,12 @@ def find_matches(
     # position order, so backward neighbors are the MOST RECENT previous
     # occurrences of the same 4-byte prefix — exactly the reference's
     # hash-chain candidate order (SURVEY.md C5), with zero collisions.
+    # Backward-only: with a stable sort, forward neighbors in this order
+    # are almost always FUTURE positions (invalid sources); the rare
+    # cross-group len-3 candidates are covered by order B's forward scan.
     order4 = jnp.lexsort((w[0],)).astype(jnp.int32)
     best_len, best_dist, _, _ = scan_order(
-        order4, best_len, best_dist, candidates
+        order4, best_len, best_dist, min(candidates, 8), backward_only=True
     )
 
     # Order B — by the full 16-byte key: neighbors are the suffixes with
