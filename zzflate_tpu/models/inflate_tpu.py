@@ -129,7 +129,7 @@ def _decoder_lengths(dec, n: int) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# Device: speculative per-bit token decode + commit.
+# Device: speculative per-bit token decode + commit + global scatter.
 # ---------------------------------------------------------------------------
 
 
@@ -149,134 +149,134 @@ def _bits(words: jax.Array, bitpos: jax.Array, n: jax.Array) -> jax.Array:
     return _window(words, bitpos) & mask
 
 
-def _make_decoder(max_bits: int):
-    """Build the jitted per-chunk speculative decoder for a static size."""
+def _decode_core(words, ll_lut, d_lut, body_bit, max_bits):
+    """Speculative token decode at every bit offset of one chunk body."""
+    rel = jnp.arange(max_bits, dtype=jnp.int32)
+    p = body_bit + rel
+    lut_mask = jnp.uint32((1 << _LUT_BITS) - 1)
+
+    e = ll_lut[(_window(words, p) & lut_mask).astype(jnp.int32)]
+    sym = (e & jnp.uint32(0xFFFF)).astype(jnp.int32)
+    nb = (e >> jnp.uint32(16)).astype(jnp.int32)
+    is_lit = (sym < 256) & (nb > 0)
+    is_eob = (sym == 256) & (nb > 0)
+    is_len = (sym > 256) & (nb > 0)
+
+    lc = jnp.clip(sym - 257, 0, 28)
+    lext = jnp.take(jnp.asarray(C.LENGTH_EXTRA), lc)
+    lbase = jnp.take(jnp.asarray(C.LENGTH_BASE), lc)
+    mlen = lbase + _bits(words, p + nb, lext).astype(jnp.int32)
+
+    p2 = p + nb + lext
+    de = d_lut[(_window(words, p2) & lut_mask).astype(jnp.int32)]
+    dsym = (de & jnp.uint32(0xFFFF)).astype(jnp.int32)
+    dnb = (de >> jnp.uint32(16)).astype(jnp.int32)
+    dsym_c = jnp.clip(dsym, 0, 29)
+    dext = jnp.take(jnp.asarray(C.DIST_EXTRA), dsym_c)
+    dbase = jnp.take(jnp.asarray(C.DIST_BASE), dsym_c)
+    mdist = dbase + _bits(words, p2 + dnb, dext).astype(jnp.int32)
+
+    bad_len = is_len & ((dnb == 0) | (sym > 285) | (dsym > 29))
+    width = jnp.where(is_len, nb + lext + dnb + dext, nb)
+    invalid = (nb == 0) | bad_len
+    nxt = jnp.where(invalid | is_eob, _SENTINEL, rel + width)
+    nxt = jnp.minimum(nxt, max_bits)  # clamp into the sink slot
+    outlen = jnp.where(is_lit, 1, jnp.where(is_len, mlen, 0))
+
+    # Pointer doubling: orbit of rel=0 under nxt.
+    g = jnp.concatenate([nxt, jnp.int32(max_bits)[None]])
+    reach = jnp.zeros((max_bits + 1,), jnp.int32).at[0].set(1)
+    for _ in range(max(1, max_bits.bit_length())):
+        hopped = jnp.zeros((max_bits + 1,), jnp.int32).at[g].max(
+            reach, mode="drop"
+        )
+        reach = jnp.maximum(reach, hopped)
+        g = g[jnp.clip(g, 0, max_bits)]
+    committed = (reach[:max_bits] == 1) & ~invalid & ~is_eob
+
+    step = jnp.where(committed, outlen, 0)
+    out_off = jnp.cumsum(step) - step
+    return {
+        "is_lit": is_lit & committed,
+        "is_match": is_len & committed,
+        "lit": sym,
+        "mdist": mdist,
+        "out_off": out_off,
+        "committed": committed,
+    }
+
+
+def _make_batch_decoder(max_bits: int, n_slots: int):
+    """Jitted: decode a batch of chunks and scatter their tokens into the
+    global (n_slots,) assembly arrays (litval, start_mark, dist_at). The
+    last slot is the drop sink; everything stays on device."""
 
     @jax.jit
-    def decode(words, ll_lut, d_lut, body_bit):
-        rel = jnp.arange(max_bits, dtype=jnp.int32)
-        p = body_bit + rel
-        lut_mask = jnp.uint32((1 << _LUT_BITS) - 1)
-
-        e = ll_lut[(_window(words, p) & lut_mask).astype(jnp.int32)]
-        sym = (e & jnp.uint32(0xFFFF)).astype(jnp.int32)
-        nb = (e >> jnp.uint32(16)).astype(jnp.int32)
-        is_lit = (sym < 256) & (nb > 0)
-        is_eob = (sym == 256) & (nb > 0)
-        is_len = (sym > 256) & (nb > 0)
-
-        lc = jnp.clip(sym - 257, 0, 28)
-        lext = jnp.take(jnp.asarray(C.LENGTH_EXTRA), lc)
-        lbase = jnp.take(jnp.asarray(C.LENGTH_BASE), lc)
-        mlen = lbase + _bits(words, p + nb, lext).astype(jnp.int32)
-
-        p2 = p + nb + lext
-        de = d_lut[(_window(words, p2) & lut_mask).astype(jnp.int32)]
-        dsym = (de & jnp.uint32(0xFFFF)).astype(jnp.int32)
-        dnb = (de >> jnp.uint32(16)).astype(jnp.int32)
-        dsym_c = jnp.clip(dsym, 0, 29)
-        dext = jnp.take(jnp.asarray(C.DIST_EXTRA), dsym_c)
-        dbase = jnp.take(jnp.asarray(C.DIST_BASE), dsym_c)
-        mdist = dbase + _bits(words, p2 + dnb, dext).astype(jnp.int32)
-
-        bad_len = is_len & ((dnb == 0) | (sym > 285) | (dsym > 29))
-        width = jnp.where(
-            is_len, nb + lext + dnb + dext, nb
+    def step(words_b, ll_b, d_b, body_b, base_b, litval, start_mark, dist_at):
+        res = jax.vmap(
+            lambda w, l, d, bb: _decode_core(w, l, d, bb, max_bits)
+        )(words_b, ll_b, d_b, body_b)
+        goff = res["out_off"] + base_b[:, None]
+        com = res["committed"]
+        tgt = jnp.where(com, goff, n_slots - 1).reshape(-1)
+        litval = litval.at[tgt].max(
+            jnp.where(res["is_lit"], res["lit"], 0).reshape(-1), mode="drop"
         )
-        invalid = (nb == 0) | bad_len
-        nxt = jnp.where(
-            invalid | is_eob, _SENTINEL, rel + width
+        start_mark = start_mark.at[tgt].max(
+            jnp.where(com, goff, -1).reshape(-1), mode="drop"
         )
-        nxt = jnp.minimum(nxt, max_bits)  # clamp into the sink slot
-        outlen = jnp.where(is_lit, 1, jnp.where(is_len, mlen, 0))
+        dist_at = dist_at.at[tgt].max(
+            jnp.where(res["is_match"], res["mdist"], 0).reshape(-1),
+            mode="drop",
+        )
+        return litval, start_mark, dist_at
 
-        # Pointer doubling: orbit of rel=0 under nxt.
-        g = jnp.concatenate([nxt, jnp.int32(max_bits)[None]])
-        reach = jnp.zeros((max_bits + 1,), jnp.int32).at[0].set(1)
-        for _ in range(max(1, max_bits.bit_length())):
-            hopped = jnp.zeros((max_bits + 1,), jnp.int32).at[g].max(
-                reach, mode="drop"
-            )
-            reach = jnp.maximum(reach, hopped)
-            g = g[jnp.clip(g, 0, max_bits)]
-        committed = (reach[:max_bits] == 1) & ~invalid & ~is_eob
-
-        # Output offsets within the chunk.
-        step = jnp.where(committed, outlen, 0)
-        out_off = jnp.cumsum(step) - step
-        total_out = jnp.sum(step)
-        return {
-            "is_lit": is_lit & committed,
-            "is_match": (~is_lit) & committed,
-            "lit": sym,
-            "mlen": mlen,
-            "mdist": mdist,
-            "out_off": out_off,
-            "committed": committed,
-            "total_out": total_out,
-        }
-
-    return decode
+    return step
 
 
-_DECODER_CACHE: dict[int, object] = {}
+def _make_resolver(n_slots: int):
+    """Jitted: segmented-cummax covering-token lookup + pointer doubling
+    over parent = idx - dist to literal roots."""
+    n_out = n_slots - 1
 
-
-def _decoder(max_bits: int):
-    if max_bits not in _DECODER_CACHE:
-        _DECODER_CACHE[max_bits] = _make_decoder(max_bits)
-    return _DECODER_CACHE[max_bits]
-
-
-# ---------------------------------------------------------------------------
-# Device: global LZ resolution.
-# ---------------------------------------------------------------------------
-
-
-def _make_resolver(n_out: int):
     @jax.jit
-    def resolve(tok_out, tok_dist, tok_len, litval):
-        """tok_*: (T,) global token start offsets / dists (0 for literal) /
-        output lengths; litval: (N,) with literal+stored bytes pre-filled.
-        Returns the resolved (N,) uint8 output."""
+    def resolve(litval, start_mark, dist_at):
         idx = jnp.arange(n_out, dtype=jnp.int32)
-        # Segmented cummax: each output byte finds its covering token start.
-        start_mark = jnp.full((n_out,), -1, jnp.int32)
-        start_mark = start_mark.at[tok_out].max(tok_out, mode="drop")
-        seg_start = jax.lax.associative_scan(jnp.maximum, start_mark)
-        dist_at = jnp.zeros((n_out,), jnp.int32)
-        dist_at = dist_at.at[tok_out].max(tok_dist, mode="drop")
+        seg_start = jax.lax.associative_scan(jnp.maximum, start_mark[:n_out])
         dist = dist_at[jnp.clip(seg_start, 0, n_out - 1)]
-        parent = jnp.where(
-            (dist > 0) & (seg_start >= 0), idx - dist, idx
-        )
+        parent = jnp.where((dist > 0) & (seg_start >= 0), idx - dist, idx)
         parent = jnp.clip(parent, 0, n_out - 1)
-        # Pointer doubling to literal roots.
         for _ in range(max(1, n_out.bit_length())):
             parent = parent[parent]
-        return litval[parent].astype(jnp.uint8)
+        return litval[:n_out][parent].astype(jnp.uint8)
 
     return resolve
 
 
-_RESOLVER_CACHE: dict[int, object] = {}
+_JIT_CACHE: dict = {}
 
 
-def _resolver(n_out: int):
-    if n_out not in _RESOLVER_CACHE:
-        _RESOLVER_CACHE[n_out] = _make_resolver(n_out)
-    return _RESOLVER_CACHE[n_out]
+def _cached(factory, *key):
+    k = (factory.__name__,) + key
+    if k not in _JIT_CACHE:
+        _JIT_CACHE[k] = factory(*key)
+    return _JIT_CACHE[k]
 
 
 # ---------------------------------------------------------------------------
 # Public entry.
 # ---------------------------------------------------------------------------
 
+_BATCH = 8
+
 
 def decompress_indexed(data: bytes, verify: bool = True) -> bytes | None:
     """Chunk-parallel decode of an indexed gzip stream on device.
 
     Returns None if the stream carries no 'ZZ' index (caller falls back).
+    All heavy work — per-bit speculative decode, token-boundary doubling,
+    global LZ resolution — runs on device; the host only parses headers,
+    builds LUTs, and fetches the final byte array once.
     """
     parsed = containers.parse_gzip_index(data)
     if parsed is None:
@@ -285,7 +285,6 @@ def decompress_indexed(data: bytes, verify: bool = True) -> bytes | None:
     (crc_expect, isize) = struct.unpack("<II", data[-8:])
     nchunks = len(sizes)
     total_out = isize
-    # Per-chunk uncompressed sizes: chunk_bytes each, remainder in the last.
     out_sizes = [
         min(chunk_bytes, max(0, total_out - i * chunk_bytes))
         for i in range(nchunks)
@@ -295,72 +294,68 @@ def decompress_indexed(data: bytes, verify: bool = True) -> bytes | None:
     # Host: split segments, parse headers, build LUTs.
     plans = []
     pos = header_len
+    segs = []
     for i, sz in enumerate(sizes):
         seg = data[pos : pos + sz]
         pos += sz
+        segs.append(seg)
         plans.append(_plan_segment(seg, out_sizes[i]))
 
     n_out = max(1, total_out)
-    litval = np.zeros(n_out, np.int32)
+    n_slots = n_out + 1
+    litval = np.zeros(n_slots, np.int32)
+    start_init = np.full(n_slots, -1, np.int32)
+    dist_init = np.zeros(n_slots, np.int32)
 
-    tok_out_parts, tok_dist_parts, tok_len_parts = [], [], []
-    max_bits = (chunk_bytes + 64) * 8
-    pos = header_len
-    for i, (sz, plan) in enumerate(zip(sizes, plans)):
-        seg = data[pos : pos + sz]
-        pos += sz
+    coded = []
+    for i, plan in enumerate(plans):
         if plan.kind == "stored":
-            litval[
-                out_starts[i] : out_starts[i] + len(plan.raw)
-            ] = np.frombuffer(plan.raw, np.uint8)
-            # A dist=0 breaker token so a match segment from the previous
-            # chunk cannot bleed into this chunk's bytes in the resolver.
-            tok_out_parts.append(np.array([out_starts[i]], np.int32))
-            tok_dist_parts.append(np.zeros(1, np.int32))
-            tok_len_parts.append(np.array([len(plan.raw)], np.int32))
-            continue
-        pad = (-len(seg)) % 4 + 8
-        words = np.frombuffer(seg + b"\x00" * pad, "<u4")
-        dec = _decoder(max_bits)
-        res = dec(
-            jnp.asarray(words),
-            jnp.asarray(plan.ll_lut),
-            jnp.asarray(plan.d_lut),
-            jnp.int32(plan.body_bit),
-        )
-        committed = np.asarray(res["committed"])
-        is_lit = np.asarray(res["is_lit"])
-        out_off = np.asarray(res["out_off"]) + out_starts[i]
-        lits = np.asarray(res["lit"])
-        mlen = np.asarray(res["mlen"])
-        mdist = np.asarray(res["mdist"])
-        # Literals land directly in litval; matches become tokens.
-        lit_idx = np.nonzero(is_lit)[0]
-        litval[out_off[lit_idx]] = lits[lit_idx]
-        m_idx = np.nonzero(committed & ~is_lit)[0]
-        tok_out_parts.append(out_off[m_idx])
-        tok_dist_parts.append(mdist[m_idx])
-        tok_len_parts.append(mlen[m_idx])
-        # Literal tokens must also break copy segments:
-        tok_out_parts.append(out_off[lit_idx])
-        tok_dist_parts.append(np.zeros(len(lit_idx), np.int32))
-        tok_len_parts.append(np.ones(len(lit_idx), np.int32))
-
-    if tok_out_parts:
-        tok_out = np.concatenate(tok_out_parts).astype(np.int32)
-        tok_dist = np.concatenate(tok_dist_parts).astype(np.int32)
-        tok_len = np.concatenate(tok_len_parts).astype(np.int32)
-        resolver = _resolver(n_out)
-        out = np.asarray(
-            resolver(
-                jnp.asarray(tok_out),
-                jnp.asarray(tok_dist),
-                jnp.asarray(tok_len),
-                jnp.asarray(litval),
+            litval[out_starts[i] : out_starts[i] + len(plan.raw)] = (
+                np.frombuffer(plan.raw, np.uint8)
             )
-        )[:total_out].tobytes()
-    else:
-        out = litval[:total_out].astype(np.uint8).tobytes()
+            # dist=0 breaker so a previous chunk's match segment cannot
+            # bleed into this chunk's bytes in the resolver.
+            start_init[out_starts[i]] = out_starts[i]
+        else:
+            coded.append(i)
+
+    lv = jnp.asarray(litval)
+    sm = jnp.asarray(start_init)
+    da = jnp.asarray(dist_init)
+
+    if coded:
+        max_bits = (chunk_bytes + 64) * 8
+        w32 = (max(sizes) + 11) // 4 + 2
+        w32 = max(w32, (chunk_bytes + 80) // 4)  # stable shape per config
+        stepf = _cached(_make_batch_decoder, max_bits, n_slots)
+        for b0 in range(0, len(coded), _BATCH):
+            # Padded rows keep an all-zero LUT: every position decodes as
+            # invalid, so they commit nothing.
+            group = coded[b0 : b0 + _BATCH]
+            words_b = np.zeros((_BATCH, w32), "<u4")
+            ll_b = np.zeros((_BATCH, 1 << _LUT_BITS), np.uint32)
+            d_b = np.zeros((_BATCH, 1 << _LUT_BITS), np.uint32)
+            body_b = np.zeros(_BATCH, np.int32)
+            base_b = np.full(_BATCH, n_out, np.int32)
+            for j, i in enumerate(group):
+                seg = segs[i]
+                wpad = seg + b"\x00" * (w32 * 4 - len(seg))
+                words_b[j] = np.frombuffer(wpad, "<u4")
+                ll_b[j] = plans[i].ll_lut
+                d_b[j] = plans[i].d_lut
+                body_b[j] = plans[i].body_bit
+                base_b[j] = out_starts[i]
+            lv, sm, da = stepf(
+                jnp.asarray(words_b),
+                jnp.asarray(ll_b),
+                jnp.asarray(d_b),
+                jnp.asarray(body_b),
+                jnp.asarray(base_b),
+                lv, sm, da,
+            )
+
+    resolver = _cached(_make_resolver, n_slots)
+    out = np.asarray(resolver(lv, sm, da))[:total_out].tobytes()
 
     if verify:
         if _zlib.crc32(out) != crc_expect:
