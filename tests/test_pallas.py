@@ -1,0 +1,74 @@
+"""Pallas candidate-scan kernel vs the XLA roll loop (bit-exact), in
+interpret mode on the CPU test mesh (compiled path runs on real TPUs)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from zzflate_tpu.constants import WINDOW_SIZE
+from zzflate_tpu.ops import pallas_kernels as pk
+
+
+def _xla_reference(adj, spos, window_start, k_each, backward_only):
+    n = adj.shape[0]
+    srank = jnp.arange(n, dtype=jnp.int32)
+    s_len = jnp.zeros((n,), jnp.int32)
+    s_dist = jnp.zeros((n,), jnp.int32)
+
+    def consider(s_len, s_dist, ln_ok, dist, ok):
+        ln = jnp.where(ok, ln_ok, 0)
+        better = (ln > s_len) | ((ln == s_len) & (ln > 0) & (dist < s_dist))
+        better = better & ok
+        return jnp.where(better, ln, s_len), jnp.where(better, dist, s_dist)
+
+    back_min = jnp.full((n,), 16, jnp.int32)
+    fwd_min = jnp.full((n,), 16, jnp.int32)
+    for k in range(1, k_each + 1):
+        back_min = jnp.minimum(back_min, jnp.roll(adj, k - 1))
+        cpos = jnp.roll(spos, k)
+        dist = spos - cpos
+        ok = ((srank >= k) & (dist >= 1) & (dist <= WINDOW_SIZE)
+              & (cpos >= window_start))
+        s_len, s_dist = consider(s_len, s_dist, back_min, dist, ok)
+        if backward_only:
+            continue
+        fwd_min = jnp.minimum(fwd_min, jnp.roll(adj, -k))
+        cpos = jnp.roll(spos, -k)
+        dist = spos - cpos
+        ok = ((srank < n - k) & (dist >= 1) & (dist <= WINDOW_SIZE)
+              & (cpos >= window_start))
+        s_len, s_dist = consider(s_len, s_dist, fwd_min, dist, ok)
+    return np.asarray(s_len), np.asarray(s_dist)
+
+
+@pytest.mark.parametrize("backward_only", [False, True])
+@pytest.mark.parametrize("k_each", [1, 8, 16])
+def test_scan_matches_xla(k_each, backward_only):
+    rng = np.random.default_rng(k_each + int(backward_only))
+    n = 1000  # non-multiple of the tile => exercises padding
+    adj = jnp.asarray(rng.integers(0, 17, size=n), jnp.int32)
+    spos = jnp.asarray(rng.permutation(n), jnp.int32)
+    ws = jnp.int32(37)
+    got_l, got_d = pk.scan_candidates(
+        adj, spos, ws, k_each, backward_only=backward_only, interpret=True
+    )
+    exp_l, exp_d = _xla_reference(adj, spos, ws, k_each, backward_only)
+    assert (np.asarray(got_l) == exp_l).all()
+    assert (np.asarray(got_d) == exp_d).all()
+
+
+def test_scan_window_edges():
+    # Positions straddling the 32 KiB window limit.
+    n = 512
+    adj = jnp.full((n,), 16, jnp.int32)
+    spos = jnp.asarray(
+        np.concatenate([[0], np.arange(WINDOW_SIZE, WINDOW_SIZE + n - 1)]),
+        jnp.int32,
+    )
+    got_l, got_d = pk.scan_candidates(
+        adj, spos, jnp.int32(0), 4, interpret=True
+    )
+    exp_l, exp_d = _xla_reference(adj, spos, jnp.int32(0), 4, False)
+    assert (np.asarray(got_l) == exp_l).all()
+    assert (np.asarray(got_d) == exp_d).all()

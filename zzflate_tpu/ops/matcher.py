@@ -29,11 +29,16 @@ this matcher is built almost entirely from sorts and rolls:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 
 from zzflate_tpu.constants import MAX_MATCH, MIN_MATCH, WINDOW_SIZE
+
+# The fused Pallas stencil for the K-neighbor scan (set ZZFLATE_NO_PALLAS=1
+# to fall back to the pure-XLA roll loop).
+_USE_PALLAS = os.environ.get("ZZFLATE_NO_PALLAS") != "1"
 
 _KEY_BYTES = 16
 _EXT_BLOCKS = 16  # 16 blocks x 16 B = 256 B + 16 B key >= MAX_MATCH
@@ -70,6 +75,20 @@ def _word_lcp_bytes(x: jax.Array) -> jax.Array:
         + b2.astype(jnp.int32)
         + b3.astype(jnp.int32)
     )
+
+
+def _merge(best_len, best_dist, s_len, s_dist, spos, adj, n):
+    """Scatter sort-space results to position order and fold into bests."""
+    p_len = jnp.zeros((n,), jnp.int32).at[spos].set(s_len)
+    p_dist = jnp.zeros((n,), jnp.int32).at[spos].set(s_dist)
+    better = (p_len > best_len) | (
+        (p_len == best_len) & (p_len > 0)
+        & ((best_dist == 0) | (p_dist < best_dist))
+    )
+    better = better & (p_len > 0)
+    best_len = jnp.where(better, p_len, best_len)
+    best_dist = jnp.where(better, p_dist, best_dist)
+    return best_len, best_dist, adj, spos
 
 
 def _lcp16(aw: list[jax.Array], bw: list[jax.Array]) -> jax.Array:
@@ -123,6 +142,17 @@ def find_matches(
         adj = _lcp16([jnp.roll(v, 1) for v in sw], sw)
         adj = adj.at[0].set(0)
 
+        # Pallas on real TPUs; the (bit-identical) XLA roll loop on CPU —
+        # interpret-mode Pallas is much slower than XLA there.
+        if _USE_PALLAS and jax.default_backend() != "cpu":
+            from zzflate_tpu.ops import pallas_kernels as pk
+
+            s_len, s_dist = pk.scan_candidates(
+                adj, spos, window_start, k_each,
+                backward_only=backward_only,
+            )
+            return _merge(best_len, best_dist, s_len, s_dist, spos, adj, n)
+
         s_len = jnp.zeros((n,), jnp.int32)
         s_dist = jnp.zeros((n,), jnp.int32)
 
@@ -164,17 +194,7 @@ def find_matches(
             )
             s_len, s_dist = consider(s_len, s_dist, fwd_min, dist, ok)
 
-        # Merge into position order.
-        p_len = jnp.zeros((n,), jnp.int32).at[spos].set(s_len)
-        p_dist = jnp.zeros((n,), jnp.int32).at[spos].set(s_dist)
-        better = (p_len > best_len) | (
-            (p_len == best_len) & (p_len > 0)
-            & ((best_dist == 0) | (p_dist < best_dist))
-        )
-        better = better & (p_len > 0)
-        best_len = jnp.where(better, p_len, best_len)
-        best_dist = jnp.where(better, p_dist, best_dist)
-        return best_len, best_dist, adj, spos
+        return _merge(best_len, best_dist, s_len, s_dist, spos, adj, n)
 
     best_len = jnp.zeros((n,), jnp.int32)
     best_dist = jnp.zeros((n,), jnp.int32)
