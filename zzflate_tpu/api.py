@@ -148,13 +148,14 @@ def _encode_segments(
         )
         for db in device_batches
     ]
-    # Phase 2: host table build per chunk, then dispatch all emit batches.
+    # Phase 2: host table build per chunk AND sub-block, then dispatch all
+    # emit batches. BFINAL goes on the final chunk's LAST sub-block only.
     emitted = []
     for (b0, b1), db, ana in zip(batch_slices, device_batches, analyzed):
-        freq_ll = np.asarray(ana["freq_ll"])
+        freq_ll = np.asarray(ana["freq_ll"])  # (bsz, SB, 288)
         freq_d = np.asarray(ana["freq_d"])
-        tabs = [
-            huffman_host.build_tables(
+        plans = [
+            huffman_host.build_chunk_plan(
                 freq_ll[j],
                 freq_d[j],
                 bfinal=int(bfinals[b0 + j]) if b0 + j < nchunks else 0,
@@ -164,7 +165,9 @@ def _encode_segments(
         ]
 
         def stack(key, dtype):
-            arr = jnp.asarray(np.stack([t[key] for t in tabs]).astype(dtype))
+            arr = jnp.asarray(
+                np.stack([p[key] for p in plans]).astype(dtype)
+            )
             if sharding is not None:
                 arr = jax.device_put(arr, sharding)
             return arr
@@ -184,6 +187,8 @@ def _encode_segments(
             stack("d_code", np.uint32),
             stack("hdr_vals", np.uint32),
             stack("hdr_nbits", np.int32),
+            stack("eob_v", np.uint32),
+            stack("eob_nb", np.int32),
         )
         emitted.append(res)
 

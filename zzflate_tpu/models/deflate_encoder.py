@@ -329,6 +329,25 @@ encode_chunk = functools.partial(
 
 HDR_SLOTS = 672  # 5 fixed fields + 19 CL lengths + 2*316 RLE fields + pad
 
+# Each chunk is emitted as ceil(chunk/SUB_BLOCK) deflate blocks with their
+# own Huffman trees (the reference-class block segmenter C13 adapts trees
+# every ~60-200 KB; a single tree per 256 KiB chunk costs ~1% ratio on
+# mixed data). Sub-blocks partition the TOKEN positions; the LZ window
+# crosses block boundaries freely per RFC 1951.
+SUB_BLOCK = 1 << 16
+_WIN = 32768
+
+
+def sub_block_count(chunk_bytes: int) -> int:
+    return max(1, chunk_bytes // SUB_BLOCK)
+
+
+def sub_block_bounds(n: int) -> list[int]:
+    """Static token-range boundaries [W .. n] for a (W+chunk,) buffer."""
+    chunk = n - _WIN
+    sb = sub_block_count(chunk)
+    return [_WIN + (b * chunk) // sb for b in range(sb)] + [n]
+
 
 def _tokenize(data, start, valid_end, window_start, params, huffman_only,
               strategy=0, max_dist=32768):
@@ -392,11 +411,20 @@ def _analyze_impl(data, start, valid_end, window_start, params,
         data, start, valid_end, window_start, params, huffman_only,
         strategy, max_dist,
     )
-    freq_ll = huffman.histogram(litlen_sym, committed, C.NUM_LITLEN_SYMBOLS)
-    freq_d = huffman.histogram(dcode, is_match, C.NUM_DIST_SYMBOLS)
+    bounds = sub_block_bounds(data.shape[0])
+    freq_ll = jnp.stack([
+        huffman.histogram(
+            litlen_sym[s:e], committed[s:e], C.NUM_LITLEN_SYMBOLS
+        )
+        for s, e in zip(bounds[:-1], bounds[1:])
+    ])
+    freq_d = jnp.stack([
+        huffman.histogram(dcode[s:e], is_match[s:e], C.NUM_DIST_SYMBOLS)
+        for s, e in zip(bounds[:-1], bounds[1:])
+    ])
     out = {
-        "freq_ll": freq_ll,
-        "freq_d": freq_d,
+        "freq_ll": freq_ll,  # (SB, 288)
+        "freq_d": freq_d,    # (SB, 30)
         "committed": committed,
         "is_match": is_match,
         "litlen_sym": litlen_sym,
@@ -431,32 +459,54 @@ def analyze_chunks_batch(data, starts, valid_ends, window_starts, params,
 
 def _emit_impl(
     committed, is_match, litlen_sym, lcode, dcode, mlen, mdist,
-    ll_len, ll_code, d_len, d_code, hdr_vals, hdr_nbits,
+    ll_len, ll_code, d_len, d_code, hdr_vals, hdr_nbits, eob_v, eob_nb,
     out_words=None,
 ):
-    """Phase 2: pack the phase-1 token arrays with host-built tables."""
+    """Phase 2: pack the phase-1 token arrays with host-built tables.
+
+    Tables/headers are per sub-block — ll_len etc. are (SB, 288),
+    hdr_vals (SB, HDR_SLOTS), eob_v/eob_nb (SB,). The field stream
+    interleaves [hdr_b, tokens of sub-block b, EOB_b]; the host merges
+    similar adjacent sub-blocks into one deflate block by zeroing the
+    interior header/EOB widths (huffman_host.build_chunk_plan).
+    """
+    n = committed.shape[0]
+    sb = ll_len.shape[0]
+    bounds = sub_block_bounds(n)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    tb = jnp.zeros((n,), jnp.int32)
+    for b in range(1, sb):
+        tb = tb + (pos >= bounds[b]).astype(jnp.int32)
+
     lsym_safe = jnp.clip(litlen_sym, 0, C.NUM_LITLEN_SYMBOLS - 1)
     dsym_safe = jnp.clip(dcode, 0, C.NUM_DIST_SYMBOLS - 1)
-    f0_v = ll_code[lsym_safe]
-    f0_b = jnp.where(committed, ll_len[lsym_safe], 0)
+    f0_v = ll_code[tb, lsym_safe]
+    f0_b = jnp.where(committed, ll_len[tb, lsym_safe], 0)
     lext = jnp.take(jnp.asarray(C.LENGTH_EXTRA), lcode, mode="clip")
     lbase = jnp.take(jnp.asarray(C.LENGTH_BASE), lcode, mode="clip")
     f1_v = (mlen - lbase).astype(jnp.uint32)
     f1_b = jnp.where(is_match, lext, 0)
-    f2_v = d_code[dsym_safe]
-    f2_b = jnp.where(is_match, d_len[dsym_safe], 0)
+    f2_v = d_code[tb, dsym_safe]
+    f2_b = jnp.where(is_match, d_len[tb, dsym_safe], 0)
     dext = jnp.take(jnp.asarray(C.DIST_EXTRA), dsym_safe, mode="clip")
     dbase = jnp.take(jnp.asarray(C.DIST_BASE), dsym_safe, mode="clip")
     f3_v = (mdist - dbase).astype(jnp.uint32)
     f3_b = jnp.where(is_match, dext, 0)
-    tok_v = jnp.stack([f0_v, f1_v, f2_v, f3_v], axis=1).reshape(-1)
-    tok_b = jnp.stack([f0_b, f1_b, f2_b, f3_b], axis=1).reshape(-1)
+    tok_v = jnp.stack([f0_v, f1_v, f2_v, f3_v], axis=1)
+    tok_b = jnp.stack([f0_b, f1_b, f2_b, f3_b], axis=1)
 
-    eob_v = ll_code[C.END_OF_BLOCK][None]
-    eob_b = ll_len[C.END_OF_BLOCK][None]
+    parts_v, parts_b = [], []
+    for b in range(sb):
+        s, e = bounds[b], bounds[b + 1]
+        parts_v.append(hdr_vals[b].astype(jnp.uint32))
+        parts_b.append(hdr_nbits[b])
+        parts_v.append(tok_v[s:e].reshape(-1))
+        parts_b.append(tok_b[s:e].reshape(-1))
+        parts_v.append(eob_v[b][None])
+        parts_b.append(eob_nb[b][None])
 
-    values = jnp.concatenate([hdr_vals.astype(jnp.uint32), tok_v, eob_v])
-    nbits = jnp.concatenate([hdr_nbits, tok_b, eob_b]).astype(jnp.int32)
+    values = jnp.concatenate(parts_v)
+    nbits = jnp.concatenate(parts_b).astype(jnp.int32)
     words, total_bits = bitpack.pack_fields(values, nbits, out_words)
     return {
         "words": words,
@@ -468,7 +518,7 @@ def _emit_impl(
 @functools.partial(jax.jit, static_argnames=("out_words",))
 def emit_chunks_batch(
     analysis, out_words,
-    ll_len, ll_code, d_len, d_code, hdr_vals, hdr_nbits,
+    ll_len, ll_code, d_len, d_code, hdr_vals, hdr_nbits, eob_v, eob_nb,
 ):
     """Phase 2, batched: consumes the phase-1 output dict directly."""
     fn = functools.partial(_emit_impl, out_words=out_words)
@@ -476,7 +526,7 @@ def emit_chunks_batch(
         analysis["committed"], analysis["is_match"], analysis["litlen_sym"],
         analysis["lcode"], analysis["dcode"], analysis["mlen"],
         analysis["mdist"],
-        ll_len, ll_code, d_len, d_code, hdr_vals, hdr_nbits,
+        ll_len, ll_code, d_len, d_code, hdr_vals, hdr_nbits, eob_v, eob_nb,
     )
 
 
@@ -530,5 +580,6 @@ def encode_chunks_batch(
 
 
 def output_words_bound(chunk_bytes: int) -> int:
-    """u32 buffer size: fixed-tree worst case is < 9.4 bits/byte + header."""
-    return (chunk_bytes * 10 + 65536) // 32
+    """u32 buffer size: fixed-tree worst case < 9.4 bits/byte + headers
+    (one dynamic header per sub-block, <= ~8 Kbit each)."""
+    return (chunk_bytes * 10 + 65536 + sub_block_count(chunk_bytes) * 8192) // 32

@@ -126,6 +126,99 @@ def cl_rle(combined: np.ndarray) -> list[tuple[int, int, int]]:
     return out
 
 
+def _entropy_bits(freq: np.ndarray) -> float:
+    t = freq.sum()
+    if t == 0:
+        return 0.0
+    nz = freq[freq > 0].astype(np.float64)
+    return float((nz * np.log2(t / nz)).sum())
+
+
+_HDR_EST_BITS = 700  # typical dynamic header size
+
+
+def plan_block_groups(
+    freq_ll: np.ndarray, freq_d: np.ndarray
+) -> list[list[int]]:
+    """Adaptive block segmentation (the reference's C13 block splitter).
+
+    Greedy left-to-right merge of adjacent sub-blocks: keep one tree when
+    the entropy estimate of the merged histograms beats two trees plus an
+    extra header. freq_ll/freq_d are (SB, 288)/(SB, 30) per-sub-block
+    counts; returns contiguous groups of sub-block indices.
+    """
+    sb = freq_ll.shape[0]
+    groups = [[0]]
+    acc_ll = freq_ll[0].astype(np.int64).copy()
+    acc_d = freq_d[0].astype(np.int64).copy()
+    for b in range(1, sb):
+        c_sep = (
+            _entropy_bits(acc_ll) + _entropy_bits(acc_d)
+            + _entropy_bits(freq_ll[b]) + _entropy_bits(freq_d[b])
+            + 2 * _HDR_EST_BITS
+        )
+        m_ll = acc_ll + freq_ll[b]
+        m_d = acc_d + freq_d[b]
+        c_mrg = _entropy_bits(m_ll) + _entropy_bits(m_d) + _HDR_EST_BITS
+        if c_mrg <= c_sep:
+            groups[-1].append(b)
+            acc_ll, acc_d = m_ll, m_d
+        else:
+            groups.append([b])
+            acc_ll = freq_ll[b].astype(np.int64).copy()
+            acc_d = freq_d[b].astype(np.int64).copy()
+    return groups
+
+
+def build_chunk_plan(
+    freq_ll: np.ndarray,
+    freq_d: np.ndarray,
+    bfinal: int,
+    fixed_only: bool = False,
+):
+    """Per-sub-block table/header arrays for one chunk (SB sub-blocks).
+
+    Adjacent sub-blocks with similar statistics share one deflate block:
+    the group's header rides the first sub-block (hdr widths 0 on the
+    rest), its EOB the last. Returns dict of (SB, ...) arrays:
+    ll_len/ll_code (SB,288), d_len/d_code (SB,30),
+    hdr_vals/hdr_nbits (SB,HDR_SLOTS), eob_v/eob_nb (SB,).
+    """
+    sb = freq_ll.shape[0]
+    groups = plan_block_groups(freq_ll, freq_d)
+    out = {
+        "ll_len": np.zeros((sb, 288), np.int32),
+        "ll_code": np.zeros((sb, 288), np.uint32),
+        "d_len": np.zeros((sb, 30), np.int32),
+        "d_code": np.zeros((sb, 30), np.uint32),
+        "hdr_vals": np.zeros((sb, HDR_SLOTS), np.uint32),
+        "hdr_nbits": np.zeros((sb, HDR_SLOTS), np.int32),
+        "eob_v": np.zeros((sb,), np.uint32),
+        "eob_nb": np.zeros((sb,), np.int32),
+    }
+    for g, members in enumerate(groups):
+        is_last_group = g == len(groups) - 1
+        t = build_tables(
+            freq_ll[members].sum(axis=0),
+            freq_d[members].sum(axis=0),
+            bfinal=bfinal if is_last_group else 0,
+            fixed_only=fixed_only,
+        )
+        for m in members:
+            out["ll_len"][m] = t["ll_len"]
+            out["ll_code"][m] = t["ll_code"]
+            out["d_len"][m] = t["d_len"]
+            out["d_code"][m] = t["d_code"]
+        first, last = members[0], members[-1]
+        out["hdr_vals"][first] = t["hdr_vals"]
+        out["hdr_nbits"][first] = t["hdr_nbits"]
+        from zzflate_tpu import constants as _C
+
+        out["eob_v"][last] = t["ll_code"][_C.END_OF_BLOCK]
+        out["eob_nb"][last] = t["ll_len"][_C.END_OF_BLOCK]
+    return out
+
+
 def build_tables(
     freq_ll: np.ndarray,
     freq_d: np.ndarray,
