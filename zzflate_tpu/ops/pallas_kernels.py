@@ -43,7 +43,7 @@ def _scan_kernel(ws_ref, adj, adj_p, adj_n, pos, pos_p, pos_n,
     pp = pos_p[:]
     pn = pos_n[:]
     lane = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1)
-    wstart = ws_ref[0]
+    wstart = ws_ref[0, 0]
 
     def back(x, xp, s):
         if s == 0:
@@ -123,7 +123,7 @@ def scan_candidates(
 
     a2, ap, an = prep(adj, 0)
     p2, pp, pn = prep(spos, _PAD_POS)
-    ws = window_start.astype(jnp.int32).reshape(1)
+    ws = window_start.astype(jnp.int32).reshape(1, 1)
 
     grid = rows // _TR
     bs = pl.BlockSpec((_TR, _LANES), lambda i: (i, 0),
@@ -134,7 +134,8 @@ def scan_candidates(
         ),
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
             bs, bs, bs, bs, bs, bs,
         ],
         out_specs=(bs, bs),
