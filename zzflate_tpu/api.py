@@ -76,6 +76,7 @@ def _encode_segments(
     stream_final: bool = True,
     mesh=None,
     with_checksums: bool = False,
+    single_block_chunks: bool = False,
 ) -> dict:
     """Deflate payload as byte-aligned per-chunk segments (sync-flush framed).
 
@@ -160,6 +161,7 @@ def _encode_segments(
                 freq_d[j],
                 bfinal=int(bfinals[b0 + j]) if b0 + j < nchunks else 0,
                 fixed_only=fixed_only,
+                force_single=single_block_chunks,
             )
             for j in range(bsz)
         ]
@@ -260,7 +262,9 @@ def compress(
     if level == 0:
         payload = containers.stored_segment(data, final=True)
     else:
-        segments = _encode_segments(data, config, dictionary)["segments"]
+        segments = _encode_segments(
+            data, config, dictionary, single_block_chunks=indexed
+        )["segments"]
         payload = b"".join(segments)
         # Whole-stream stored fallback: per-chunk sync-flush framing adds
         # ~5 bytes/chunk, so incompressible inputs could otherwise exceed

@@ -175,6 +175,7 @@ def build_chunk_plan(
     freq_d: np.ndarray,
     bfinal: int,
     fixed_only: bool = False,
+    force_single: bool = False,
 ):
     """Per-sub-block table/header arrays for one chunk (SB sub-blocks).
 
@@ -185,7 +186,12 @@ def build_chunk_plan(
     hdr_vals/hdr_nbits (SB,HDR_SLOTS), eob_v/eob_nb (SB,).
     """
     sb = freq_ll.shape[0]
-    groups = plan_block_groups(freq_ll, freq_d)
+    if force_single:
+        # Indexed gzip promises one deflate block per segment (the
+        # chunk-parallel decoder parses exactly one header per segment).
+        groups = [list(range(sb))]
+    else:
+        groups = plan_block_groups(freq_ll, freq_d)
     out = {
         "ll_len": np.zeros((sb, 288), np.int32),
         "ll_code": np.zeros((sb, 288), np.uint32),

@@ -75,7 +75,8 @@ def compress_sharded(
         segments = None
     else:
         res = _encode_segments(
-            data, config, dictionary, mesh=mesh, with_checksums=True
+            data, config, dictionary, mesh=mesh, with_checksums=True,
+            single_block_chunks=indexed,
         )
         segments = res["segments"]
         payload = b"".join(segments)
