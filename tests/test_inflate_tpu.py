@@ -65,6 +65,17 @@ def test_levels(level):
     _roundtrip(data, level)
 
 
+def test_multi_subblock_chunks_indexed():
+    # chunk_bytes >= 2*64 KiB would normally split into sub-blocks; the
+    # indexed contract forces one block per segment (regression: the
+    # decoder parses exactly one header per segment).
+    data = (b"multi sub-block indexed segment " * 9000)[: 260000]
+    out = zf.compress(data, level=6, format="gzip", chunk_bytes=1 << 17,
+                      indexed=True)
+    assert zlib.decompress(out, wbits=31) == data
+    assert inflate_tpu.decompress_indexed(out) == data
+
+
 def test_unindexed_returns_none():
     blob = zf.compress(b"plain stream " * 100, level=6, format="gzip",
                        chunk_bytes=CHUNK)
