@@ -92,6 +92,7 @@ def main() -> None:
     sl = data[: 2 << 20]
     oi = zf.compress(sl, level=LEVEL, format="gzip", chunk_bytes=CHUNK_BYTES,
                      indexed=True)
+    assert zf.decompress(oi, format="gzip", engine="tpu") == sl  # warm/compile
     t0 = time.perf_counter()
     assert zf.decompress(oi, format="gzip", engine="tpu") == sl
     dec_tpu = len(sl) / 1e6 / (time.perf_counter() - t0)

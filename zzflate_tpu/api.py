@@ -65,8 +65,11 @@ def _build_chunk_batch(
 
 
 def _device_batch(chunk_bytes: int) -> int:
-    """Chunks dispatched per device call, sized to bound peak HBM."""
-    return max(1, min(16, (1 << 20) // chunk_bytes))
+    """Chunks dispatched per device call, sized to bound peak HBM.
+
+    ~2 MiB of chunk data per dispatch: the suffix-sort matcher holds
+    ~15 int32 arrays per position (~70 MiB/MiB-of-input transient)."""
+    return max(1, min(16, (2 << 20) // chunk_bytes))
 
 
 def _encode_segments(

@@ -40,7 +40,9 @@ def _cmd_compress(args) -> int:
     data = _read(args.input)
     t0 = time.perf_counter()
     out = zf.compress(
-        data, level=args.level, format=args.format, chunk_bytes=args.chunk_bytes
+        data, level=args.level, format=args.format,
+        chunk_bytes=args.chunk_bytes, strategy=args.strategy,
+        indexed=args.indexed,
     )
     dt = time.perf_counter() - t0
     _write(args.output, out, ".zz")
@@ -67,7 +69,7 @@ def _cmd_decompress(args) -> int:
 
     data = _read(args.input)
     t0 = time.perf_counter()
-    out = zf.decompress(data, format=args.format)
+    out = zf.decompress(data, format=args.format, engine=args.engine)
     dt = time.perf_counter() - t0
     _write(args.output, out, ".out")
     print(
@@ -152,6 +154,10 @@ def main(argv=None) -> int:
     pc.add_argument("-f", "--format", default="gzip",
                     choices=["zlib", "gzip", "raw"])
     pc.add_argument("--chunk-bytes", type=int, default=1 << 18)
+    pc.add_argument("--strategy", type=int, default=0,
+                    help="0=default 1=filtered 2=huffman-only 3=rle 4=fixed")
+    pc.add_argument("--indexed", action="store_true",
+                    help="gzip with a 'ZZ' chunk index (TPU-decodable)")
     pc.set_defaults(fn=_cmd_compress)
 
     pd = sub.add_parser("decompress")
@@ -159,6 +165,8 @@ def main(argv=None) -> int:
     pd.add_argument("-o", "--output", default=None)
     pd.add_argument("-f", "--format", default="gzip",
                     choices=["zlib", "gzip", "raw"])
+    pd.add_argument("--engine", default="native",
+                    choices=["native", "tpu"])
     pd.set_defaults(fn=_cmd_decompress)
 
     pb = sub.add_parser("bench")
