@@ -83,13 +83,18 @@ def test_unindexed_returns_none():
 
 
 def test_index_parse_roundtrip():
-    hdr = containers.gzip_header_indexed(CHUNK, [100, 200, 42])
+    chunks = [
+        (100, [(0, 0), (370, 1000)]),
+        (200, [(0, 0)]),
+        (42, []),
+    ]
+    hdr = containers.gzip_header_indexed(CHUNK, chunks)
     parsed = containers.parse_gzip_index(hdr + b"\x00" * 8)
     assert parsed is not None
-    hdr_len, cb, sizes = parsed
+    hdr_len, cb, got = parsed
     assert hdr_len == len(hdr)
     assert cb == CHUNK
-    assert sizes == [100, 200, 42]
+    assert got == chunks
 
 
 def test_corrupted_crc_detected():

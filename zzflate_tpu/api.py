@@ -155,6 +155,7 @@ def _encode_segments(
     # Phase 2: host table build per chunk AND sub-block, then dispatch all
     # emit batches. BFINAL goes on the final chunk's LAST sub-block only.
     emitted = []
+    batch_plans = []
     for (b0, b1), db, ana in zip(batch_slices, device_batches, analyzed):
         freq_ll = np.asarray(ana["freq_ll"])  # (bsz, SB, 288)
         freq_d = np.asarray(ana["freq_d"])
@@ -168,6 +169,7 @@ def _encode_segments(
             )
             for j in range(bsz)
         ]
+        batch_plans.append(plans)
 
         def stack(key, dtype):
             arr = jnp.asarray(
@@ -198,13 +200,18 @@ def _encode_segments(
         emitted.append(res)
 
     segments: list[bytes] = []
+    blocks: list[list[tuple[int, int]]] = []
     adlers: list[int] | None = [] if with_checksums else None
     crcs: list[int] | None = [] if with_checksums else None
-    for (b0, b1), res, ana in zip(batch_slices, emitted, analyzed):
+    bounds = deflate_encoder.sub_block_bounds(_WINDOW + chunk_bytes)
+    for (b0, b1), res, ana, plans in zip(
+        batch_slices, emitted, analyzed, batch_plans
+    ):
         # Fetch the bit counts first, then only the used prefix of the
         # word buffers (device->host bandwidth is the scarce resource;
         # the padded buffers are ~2.5x the compressed size).
         nbits_np = np.asarray(res["nbits"])
+        sb_bits_np = np.asarray(res["sb_bits"])
         max_used = min(
             out_words, int((nbits_np.max() + 3 + 31) // 32) + 1
         )
@@ -230,7 +237,17 @@ def _encode_segments(
             if len(stored) < len(seg):
                 seg = stored
             segments.append(seg)
-    return {"segments": segments, "adler": adlers, "crc": crcs}
+            # Block index entries: (bit offset in segment, output offset in
+            # chunk) for each block-group start. Meaningless for stored
+            # fallbacks (the decoder detects those from BTYPE).
+            blocks.append([
+                (int(sb_bits_np[j][g[0]]), bounds[g[0]] - _WINDOW)
+                for g in plans[j]["groups"]
+            ])
+    return {
+        "segments": segments, "blocks": blocks,
+        "adler": adlers, "crc": crcs,
+    }
 
 
 def compress(
@@ -265,9 +282,8 @@ def compress(
     if level == 0:
         payload = containers.stored_segment(data, final=True)
     else:
-        segments = _encode_segments(
-            data, config, dictionary, single_block_chunks=indexed
-        )["segments"]
+        enc = _encode_segments(data, config, dictionary)
+        segments = enc["segments"]
         payload = b"".join(segments)
         # Whole-stream stored fallback: per-chunk sync-flush framing adds
         # ~5 bytes/chunk, so incompressible inputs could otherwise exceed
@@ -291,7 +307,8 @@ def compress(
         )
     if indexed and segments is not None:
         hdr = containers.gzip_header_indexed(
-            chunk_bytes, [len(s) for s in segments]
+            chunk_bytes,
+            list(zip((len(s) for s in segments), enc["blocks"])),
         )
     else:
         hdr = containers.gzip_header()

@@ -496,22 +496,31 @@ def _emit_impl(
     tok_b = jnp.stack([f0_b, f1_b, f2_b, f3_b], axis=1)
 
     parts_v, parts_b = [], []
+    hdr_field_idx = []  # static field index of each sub-block's hdr start
+    fcount = 0
     for b in range(sb):
         s, e = bounds[b], bounds[b + 1]
+        hdr_field_idx.append(fcount)
         parts_v.append(hdr_vals[b].astype(jnp.uint32))
         parts_b.append(hdr_nbits[b])
+        fcount += HDR_SLOTS
         parts_v.append(tok_v[s:e].reshape(-1))
         parts_b.append(tok_b[s:e].reshape(-1))
+        fcount += (e - s) * 4
         parts_v.append(eob_v[b][None])
         parts_b.append(eob_nb[b][None])
+        fcount += 1
 
     values = jnp.concatenate(parts_v)
     nbits = jnp.concatenate(parts_b).astype(jnp.int32)
-    words, total_bits = bitpack.pack_fields(values, nbits, out_words)
+    words, total_bits, sb_bits = bitpack.pack_fields(
+        values, nbits, out_words, report_indices=tuple(hdr_field_idx)
+    )
     return {
         "words": words,
         "nbits": total_bits,
         "ntokens": jnp.sum(committed.astype(jnp.int32)),
+        "sb_bits": sb_bits,  # bit offset of each sub-block's first field
     }
 
 

@@ -85,22 +85,25 @@ class _SegPlan:
         self.out_bytes = out_bytes
 
 
-def _plan_segment(seg: bytes, out_bytes: int) -> _SegPlan:
+def _plan_stored(seg: bytes, out_bytes: int) -> _SegPlan:
+    """Walk the byte-aligned stored blocks of a fallback segment (host)."""
     br = BitReader(seg, 0)
-    br.bits(1)  # BFINAL (layout known from the index)
+    raw = bytearray()
+    while len(raw) < out_bytes:
+        br.bits(3)
+        br.align()
+        pos = br.bitpos >> 3
+        (ln,) = struct.unpack("<H", seg[pos : pos + 2])
+        raw += seg[pos + 4 : pos + 4 + ln]
+        br.bitpos = (pos + 4 + ln) << 3
+    return _SegPlan("stored", raw=bytes(raw), out_bytes=out_bytes)
+
+
+def _plan_block(seg: bytes, bit_off: int) -> _SegPlan:
+    """Parse one block header at `bit_off` and build its decode LUTs."""
+    br = BitReader(seg, bit_off)
+    br.bits(1)  # BFINAL (stream layout comes from the index)
     btype = br.bits(2)
-    if btype == 0:
-        # Stored fallback: walk byte-aligned stored blocks on the host.
-        raw = bytearray()
-        br.bitpos = 0
-        while len(raw) < out_bytes:
-            br.bits(3)
-            br.align()
-            pos = br.bitpos >> 3
-            (ln,) = struct.unpack("<H", seg[pos : pos + 2])
-            raw += seg[pos + 4 : pos + 4 + ln]
-            br.bitpos = (pos + 4 + ln) << 3
-        return _SegPlan("stored", raw=bytes(raw), out_bytes=out_bytes)
     if btype == 1:
         ll_len = C.fixed_litlen_lengths()
         d_len = C.fixed_dist_lengths()
@@ -113,7 +116,6 @@ def _plan_segment(seg: bytes, out_bytes: int) -> _SegPlan:
         body_bit=br.bitpos,
         ll_lut=_build_lut(ll_len),
         d_lut=_build_lut(d_len),
-        out_bytes=out_bytes,
     )
 
 
@@ -281,9 +283,9 @@ def decompress_indexed(data: bytes, verify: bool = True) -> bytes | None:
     parsed = containers.parse_gzip_index(data)
     if parsed is None:
         return None
-    header_len, chunk_bytes, sizes = parsed
+    header_len, chunk_bytes, chunks = parsed
     (crc_expect, isize) = struct.unpack("<II", data[-8:])
-    nchunks = len(sizes)
+    nchunks = len(chunks)
     total_out = isize
     out_sizes = [
         min(chunk_bytes, max(0, total_out - i * chunk_bytes))
@@ -291,60 +293,64 @@ def decompress_indexed(data: bytes, verify: bool = True) -> bytes | None:
     ]
     out_starts = [i * chunk_bytes for i in range(nchunks)]
 
-    # Host: split segments, parse headers, build LUTs.
-    plans = []
-    pos = header_len
-    segs = []
-    for i, sz in enumerate(sizes):
-        seg = data[pos : pos + sz]
-        pos += sz
-        segs.append(seg)
-        plans.append(_plan_segment(seg, out_sizes[i]))
-
     n_out = max(1, total_out)
     n_slots = n_out + 1
     litval = np.zeros(n_slots, np.int32)
     start_init = np.full(n_slots, -1, np.int32)
     dist_init = np.zeros(n_slots, np.int32)
 
-    coded = []
-    for i, plan in enumerate(plans):
-        if plan.kind == "stored":
+    # Host: split segments; per BLOCK (the index carries every block's bit
+    # offset + output offset) parse the header and build LUTs. Stored
+    # fallback segments are detected from BTYPE and prefilled directly.
+    pos = header_len
+    units = []  # (seg_index, plan, global_out_base)
+    segs = []
+    for i, (sz, blocks) in enumerate(chunks):
+        seg = data[pos : pos + sz]
+        pos += sz
+        segs.append(seg)
+        br = BitReader(seg, 0)
+        br.bits(1)
+        if br.bits(2) == 0:
+            plan = _plan_stored(seg, out_sizes[i])
             litval[out_starts[i] : out_starts[i] + len(plan.raw)] = (
                 np.frombuffer(plan.raw, np.uint8)
             )
             # dist=0 breaker so a previous chunk's match segment cannot
             # bleed into this chunk's bytes in the resolver.
             start_init[out_starts[i]] = out_starts[i]
-        else:
-            coded.append(i)
+            continue
+        for bit_off, out_off in blocks:
+            units.append(
+                (i, _plan_block(seg, bit_off), out_starts[i] + out_off)
+            )
 
     lv = jnp.asarray(litval)
     sm = jnp.asarray(start_init)
     da = jnp.asarray(dist_init)
 
-    if coded:
+    if units:
         max_bits = (chunk_bytes + 64) * 8
-        w32 = (max(sizes) + 11) // 4 + 2
+        w32 = (max(sz for sz, _ in chunks) + 11) // 4 + 2
         w32 = max(w32, (chunk_bytes + 80) // 4)  # stable shape per config
         stepf = _cached(_make_batch_decoder, max_bits, n_slots)
-        for b0 in range(0, len(coded), _BATCH):
+        for b0 in range(0, len(units), _BATCH):
             # Padded rows keep an all-zero LUT: every position decodes as
             # invalid, so they commit nothing.
-            group = coded[b0 : b0 + _BATCH]
+            group = units[b0 : b0 + _BATCH]
             words_b = np.zeros((_BATCH, w32), "<u4")
             ll_b = np.zeros((_BATCH, 1 << _LUT_BITS), np.uint32)
             d_b = np.zeros((_BATCH, 1 << _LUT_BITS), np.uint32)
             body_b = np.zeros(_BATCH, np.int32)
             base_b = np.full(_BATCH, n_out, np.int32)
-            for j, i in enumerate(group):
+            for j, (i, plan, out_base) in enumerate(group):
                 seg = segs[i]
                 wpad = seg + b"\x00" * (w32 * 4 - len(seg))
                 words_b[j] = np.frombuffer(wpad, "<u4")
-                ll_b[j] = plans[i].ll_lut
-                d_b[j] = plans[i].d_lut
-                body_b[j] = plans[i].body_bit
-                base_b[j] = out_starts[i]
+                ll_b[j] = plan.ll_lut
+                d_b[j] = plan.d_lut
+                body_b[j] = plan.body_bit
+                base_b[j] = out_base
             lv, sm, da = stepf(
                 jnp.asarray(words_b),
                 jnp.asarray(ll_b),

@@ -22,17 +22,25 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.jit, static_argnames=("out_words",))
-def pack_fields(values: jax.Array, nbits: jax.Array, out_words: int):
+@functools.partial(jax.jit, static_argnames=("out_words", "report_indices"))
+def pack_fields(
+    values: jax.Array,
+    nbits: jax.Array,
+    out_words: int,
+    report_indices: tuple = (),
+):
     """Pack a field stream into a little-endian u32 word buffer.
 
     Args:
       values: (F,) uint32 field values (low `nbits` bits are emitted).
       nbits: (F,) int32 bit widths, 0..16; 0 fields are skipped.
       out_words: static output buffer size in u32 words.
+      report_indices: static field indices whose BIT OFFSETS are also
+        returned (used to index block starts inside the stream).
 
     Returns:
-      (words, total_bits): (out_words,) uint32 and scalar int32. If
+      (words, total_bits[, report_offsets]): (out_words,) uint32, scalar
+      int32, and (len(report_indices),) int32 when requested. If
       total_bits > 32*out_words the buffer content is unspecified (the
       caller falls back to a stored block).
     """
@@ -40,6 +48,11 @@ def pack_fields(values: jax.Array, nbits: jax.Array, out_words: int):
     values = values.astype(jnp.uint32) & ((jnp.uint32(1) << nbits.astype(jnp.uint32)) - 1)
     offsets = jnp.cumsum(nbits) - nbits  # exclusive prefix sum
     total_bits = offsets[-1] + nbits[-1] if nbits.shape[0] else jnp.int32(0)
+    report = (
+        jnp.take(offsets, jnp.asarray(report_indices, jnp.int32))
+        if report_indices
+        else None
+    )
 
     word_idx = (offsets >> 5).astype(jnp.int32)
     bit_idx = (offsets & 31).astype(jnp.uint32)
@@ -53,6 +66,8 @@ def pack_fields(values: jax.Array, nbits: jax.Array, out_words: int):
     words = jnp.zeros((out_words,), jnp.uint32)
     words = words.at[wi_lo].add(lo, mode="drop")
     words = words.at[wi_hi].add(hi, mode="drop")
+    if report is not None:
+        return words, total_bits, report
     return words, total_bits
 
 

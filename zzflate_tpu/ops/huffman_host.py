@@ -222,6 +222,7 @@ def build_chunk_plan(
 
         out["eob_v"][last] = t["ll_code"][_C.END_OF_BLOCK]
         out["eob_nb"][last] = t["ll_len"][_C.END_OF_BLOCK]
+    out["groups"] = groups
     return out
 
 

@@ -76,7 +76,6 @@ def compress_sharded(
     else:
         res = _encode_segments(
             data, config, dictionary, mesh=mesh, with_checksums=True,
-            single_block_chunks=indexed,
         )
         segments = res["segments"]
         payload = b"".join(segments)
@@ -105,7 +104,8 @@ def compress_sharded(
         )
     if indexed and segments is not None:
         hdr = containers.gzip_header_indexed(
-            chunk_bytes, [len(s) for s in segments]
+            chunk_bytes,
+            list(zip((len(s) for s in segments), res["blocks"])),
         )
     else:
         hdr = containers.gzip_header()

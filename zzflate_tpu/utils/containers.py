@@ -38,24 +38,33 @@ def gzip_header() -> bytes:
     return b"\x1f\x8b\x08\x00\x00\x00\x00\x00\x00\xff"
 
 
-# Indexed gzip: a 'ZZ' FEXTRA subfield carrying the per-chunk compressed
-# sizes, so a decoder can split the member into independent byte-aligned
-# segments (each sync-flush framed by the encoder) and decode them in
-# parallel on device. Any standard gzip reader skips FEXTRA, so the stream
-# stays a single valid gzip member (RFC 1952 section 2.3.1.1).
-ZZ_INDEX_VERSION = 1
-_ZZ_MAX_CHUNKS = (65535 - 4 - 10) // 4  # XLEN is u16
+# Indexed gzip: a 'ZZ' FEXTRA subfield describing the per-chunk segments
+# (byte-aligned, sync-flush framed) and the bit offset + output offset of
+# every deflate block inside them, so a decoder can decode all blocks in
+# parallel on device. Any standard gzip reader skips FEXTRA, so the
+# stream stays a single valid gzip member (RFC 1952 section 2.3.1.1).
+#
+# Subfield layout (v2, little-endian):
+#   u8 version=2, u8 flags, u32 chunk_bytes, u32 nchunks,
+#   then per chunk: u32 seg_bytes, u16 nblocks,
+#                   nblocks x (u32 bit_off, u32 out_off)
+ZZ_INDEX_VERSION = 2
 
 
-def gzip_header_indexed(chunk_bytes: int, seg_sizes: list[int]) -> bytes:
-    if len(seg_sizes) > _ZZ_MAX_CHUNKS:
-        raise ValueError(
-            f"too many chunks for an FEXTRA index ({len(seg_sizes)})"
-        )
-    sub = struct.pack(
-        "<BBII", ZZ_INDEX_VERSION, 0, chunk_bytes, len(seg_sizes)
-    ) + b"".join(struct.pack("<I", s) for s in seg_sizes)
-    extra = b"ZZ" + struct.pack("<H", len(sub)) + sub
+def gzip_header_indexed(
+    chunk_bytes: int, chunks: list[tuple[int, list[tuple[int, int]]]]
+) -> bytes:
+    """chunks: [(seg_bytes, [(bit_off, out_off), ...]), ...]."""
+    sub = bytearray(
+        struct.pack("<BBII", ZZ_INDEX_VERSION, 0, chunk_bytes, len(chunks))
+    )
+    for seg_bytes, blocks in chunks:
+        sub += struct.pack("<IH", seg_bytes, len(blocks))
+        for bit_off, out_off in blocks:
+            sub += struct.pack("<II", bit_off, out_off)
+    if len(sub) > 65535 - 4:
+        raise ValueError("too many chunks/blocks for an FEXTRA index")
+    extra = b"ZZ" + struct.pack("<H", len(sub)) + bytes(sub)
     return (
         b"\x1f\x8b\x08\x04\x00\x00\x00\x00\x00\xff"
         + struct.pack("<H", len(extra))
@@ -63,9 +72,11 @@ def gzip_header_indexed(chunk_bytes: int, seg_sizes: list[int]) -> bytes:
     )
 
 
-def parse_gzip_index(data: bytes) -> tuple[int, int, list[int]] | None:
-    """Returns (header_len, chunk_bytes, seg_sizes) if a ZZ index subfield
-    is present, else None."""
+def parse_gzip_index(
+    data: bytes,
+) -> tuple[int, int, list[tuple[int, list[tuple[int, int]]]]] | None:
+    """Returns (header_len, chunk_bytes, chunks) for a ZZ v2 subfield,
+    where chunks = [(seg_bytes, [(bit_off, out_off), ...]), ...]."""
     if len(data) < 10 or data[:2] != b"\x1f\x8b" or not (data[3] & 0x04):
         return None
     xlen = struct.unpack("<H", data[10:12])[0]
@@ -78,11 +89,26 @@ def parse_gzip_index(data: bytes) -> tuple[int, int, list[int]] | None:
         body = extra[pos + 4 : pos + 4 + slen]
         if sid == b"ZZ" and len(body) >= 10:
             ver, _flags, chunk_bytes, n = struct.unpack("<BBII", body[:10])
-            if ver == ZZ_INDEX_VERSION and len(body) >= 10 + 4 * n:
-                sizes = list(
-                    struct.unpack(f"<{n}I", body[10 : 10 + 4 * n])
-                )
-                return header_len, chunk_bytes, sizes
+            if ver == ZZ_INDEX_VERSION:
+                chunks = []
+                p = 10
+                ok = True
+                for _ in range(n):
+                    if p + 6 > len(body):
+                        ok = False
+                        break
+                    seg_bytes, nb = struct.unpack("<IH", body[p : p + 6])
+                    p += 6
+                    blocks = []
+                    for _ in range(nb):
+                        bit_off, out_off = struct.unpack(
+                            "<II", body[p : p + 8]
+                        )
+                        blocks.append((bit_off, out_off))
+                        p += 8
+                    chunks.append((seg_bytes, blocks))
+                if ok:
+                    return header_len, chunk_bytes, chunks
         pos += 4 + slen
     return None
 
