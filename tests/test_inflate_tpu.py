@@ -76,6 +76,25 @@ def test_multi_subblock_chunks_indexed():
     assert inflate_tpu.decompress_indexed(out) == data
 
 
+def test_boundary_crossing_matches_indexed():
+    # Continuous real text: matches cross the 64 KiB sub-block bounds, so
+    # later blocks' OUTPUT offsets are not multiples of the sub-block
+    # size (regression: the index must carry the true cumulative offsets).
+    import glob
+
+    parts = []
+    for p in sorted(glob.glob("/usr/include/*.h"))[:40]:
+        try:
+            parts.append(open(p, "rb").read())
+        except OSError:
+            pass
+    data = b"".join(parts)[:260000]
+    out = zf.compress(data, level=6, format="gzip", chunk_bytes=1 << 17,
+                      indexed=True)
+    assert zlib.decompress(out, wbits=31) == data
+    assert inflate_tpu.decompress_indexed(out) == data
+
+
 def test_unindexed_returns_none():
     blob = zf.compress(b"plain stream " * 100, level=6, format="gzip",
                        chunk_bytes=CHUNK)

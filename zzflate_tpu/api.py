@@ -212,6 +212,7 @@ def _encode_segments(
         # the padded buffers are ~2.5x the compressed size).
         nbits_np = np.asarray(res["nbits"])
         sb_bits_np = np.asarray(res["sb_bits"])
+        sb_out_np = np.asarray(res["sb_out"])
         max_used = min(
             out_words, int((nbits_np.max() + 3 + 31) // 32) + 1
         )
@@ -241,7 +242,7 @@ def _encode_segments(
             # chunk) for each block-group start. Meaningless for stored
             # fallbacks (the decoder detects those from BTYPE).
             blocks.append([
-                (int(sb_bits_np[j][g[0]]), bounds[g[0]] - _WINDOW)
+                (int(sb_bits_np[j][g[0]]), int(sb_out_np[j][g[0]]))
                 for g in plans[j]["groups"]
             ])
     return {

@@ -516,11 +516,22 @@ def _emit_impl(
     words, total_bits, sb_bits = bitpack.pack_fields(
         values, nbits, out_words, report_indices=tuple(hdr_field_idx)
     )
+    # True OUTPUT offset of each sub-block's first token: matches may
+    # cross sub-block boundaries (a token belongs to the block where it
+    # STARTS), so the output split points are the cumulative outlens at
+    # the token-range bounds — not multiples of the sub-block size.
+    outlen = jnp.where(
+        is_match, mlen, jnp.where(committed, 1, 0)
+    ).astype(jnp.int32)
+    sb_out = jnp.stack([
+        jnp.sum(jnp.where(pos < bounds[b], outlen, 0)) for b in range(sb)
+    ])
     return {
         "words": words,
         "nbits": total_bits,
         "ntokens": jnp.sum(committed.astype(jnp.int32)),
         "sb_bits": sb_bits,  # bit offset of each sub-block's first field
+        "sb_out": sb_out,    # output offset of each sub-block's tokens
     }
 
 
