@@ -125,3 +125,41 @@ def test_corrupted_crc_detected():
     out[-5] ^= 0x01  # flip a CRC bit
     with pytest.raises(ValueError):
         inflate_tpu.decompress_indexed(bytes(out))
+
+
+def test_multimember_with_indexed_first_member():
+    # A valid gzip stream may append further members after the indexed
+    # one; engine='tpu' must decode the indexed member from its own
+    # extent (per the index) and the tail via the native path.
+    a = b"indexed member payload " * 800
+    b = b"appended plain member " * 300
+    blob = zf.compress(a, level=6, format="gzip", chunk_bytes=CHUNK,
+                       indexed=True)
+    blob += zlib.compress(b, 6, wbits=31)
+    # (zlib.decompress stops after one member; gzip.decompress is the
+    # multi-member oracle.)
+    import gzip as _gzip
+
+    assert _gzip.decompress(blob) == a + b
+    assert inflate_tpu.decompress_indexed(blob) == a + b
+    assert zf.decompress(blob, format="gzip", engine="tpu") == a + b
+
+
+def test_corrupted_index_block_count_no_crash():
+    # An oversized nblocks u16 in the ZZ subfield must not escape as
+    # struct.error: parse_gzip_index returns None (caller falls back).
+    data = b"bounds checked " * 500
+    blob = bytearray(
+        zf.compress(data, level=6, format="gzip", chunk_bytes=CHUNK,
+                    indexed=True)
+    )
+    # ZZ subfield body starts at offset 16 (10B header + XLEN + sid + slen);
+    # the first chunk record's nblocks u16 sits at body offset 10+4.
+    body_off = 16
+    nb_off = body_off + 10 + 4
+    blob[nb_off : nb_off + 2] = (0xFFFF).to_bytes(2, "little")
+    parsed = containers.parse_gzip_index(bytes(blob))
+    assert parsed is None
+    # decompress with engine='tpu' falls back to native; the stream body
+    # is intact so it still decodes (FEXTRA content is not CRC-protected).
+    assert zf.decompress(bytes(blob), format="gzip", engine="tpu") == data

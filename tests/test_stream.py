@@ -75,3 +75,130 @@ def test_finish_twice_raises():
     c.flush(zs.Z_FINISH)
     with pytest.raises(ValueError):
         c.compress(b"x")
+
+
+def test_decompressor_truncated_inside_trailer():
+    # Input split a few bytes before the end lands mid-trailer; the
+    # decompressor must buffer (not crash with struct.error), and eof
+    # only flips once the trailer verified.
+    import zzflate_tpu as zf
+
+    data = b"trailer straddling feed " * 400
+    for fmt in ("zlib", "gzip"):
+        blob = zf.compress(data, level=6, format=fmt)
+        for cut in (1, 2, 3, 5):
+            d = zs.Decompressor(format=fmt)
+            out = d.decompress(blob[:-cut])
+            assert not d.eof
+            out += d.decompress(blob[-cut:])
+            assert out == data
+            assert d.eof
+
+
+def test_decompressor_incremental_partial_output():
+    # Output must appear BEFORE the stream completes (block-granular
+    # incremental decode), in O(n) total across calls.
+    # Barely-compressible data so zlib emits many small blocks (its
+    # symbol buffer fills every ~16K tokens) — block boundaries are what
+    # incremental decode emits at.
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    data = rng.integers(32, 127, size=400_000, dtype=np.uint8).tobytes()
+    blob = zlib.compress(data, 6)
+    d = zs.Decompressor()
+    piece = 4096
+    got = []
+    early_output = False
+    for i in range(0, len(blob), piece):
+        out = d.decompress(blob[i : i + piece])
+        got.append(out)
+        if out and i + piece < len(blob):
+            early_output = True
+    assert b"".join(got) + d.flush() == data
+    assert early_output, "no output before the final piece"
+    assert d.eof
+
+
+def test_decompressor_corruption_raises_at_bad_block():
+    import pytest
+
+    data = b"corruption detected early " * 2000
+    blob = bytearray(zlib.compress(data, 6))
+    blob[2] |= 0x06  # force BTYPE=3 in the first block header
+    d = zs.Decompressor()
+    with pytest.raises(ValueError):
+        # Error must surface on the FIRST piece containing the bad block,
+        # not at end-of-stream.
+        d.decompress(bytes(blob[:256]))
+
+
+def test_decompressor_unused_data():
+    data = b"stream then trailing garbage " * 100
+    blob = zlib.compress(data, 6) + b"TRAILING-GARBAGE"
+    d = zs.Decompressor()
+    out = d.decompress(blob)
+    assert out == data
+    assert d.eof
+    assert d.unused_data == b"TRAILING-GARBAGE"
+
+
+def test_decompressor_gzip_multimember_incremental():
+    a = b"member one " * 500
+    b = b"member two " * 300
+    blob = zlib.compress(a, 6, wbits=31) + zlib.compress(b, 6, wbits=31)
+    d = zs.Decompressor(format="gzip")
+    out = bytearray()
+    for i in range(0, len(blob), 37):
+        out += d.decompress(blob[i : i + 37])
+    out += d.flush()
+    assert bytes(out) == a + b
+    assert d.eof
+
+
+def test_decompressor_max_length():
+    data = b"max-length windowed reads " * 500
+    blob = zlib.compress(data, 6)
+    d = zs.Decompressor()
+    out = bytearray()
+    chunk = d.decompress(blob, max_length=100)
+    assert len(chunk) == 100
+    out += chunk
+    while not (d.eof and len(out) == len(data)):
+        chunk = d.decompress(b"", max_length=1000)
+        assert len(chunk) <= 1000
+        if not chunk:
+            break
+        out += chunk
+    assert bytes(out) == data
+
+
+def test_decompressor_zlib_preset_dictionary():
+    dictionary = b"the quick brown fox jumps over the lazy dog " * 20
+    data = b"the quick brown fox says hello to the lazy dog " * 50
+    comp = zlib.compressobj(6, zlib.DEFLATED, 15, 8, zlib.Z_DEFAULT_STRATEGY,
+                            dictionary)
+    blob = comp.compress(data) + comp.flush()
+    d = zs.Decompressor(format="zlib", dictionary=dictionary)
+    out = d.decompress(blob[:40]) + d.decompress(blob[40:]) + d.flush()
+    assert out == data
+    assert d.eof
+
+
+def test_decompressor_linear_time_large_stream():
+    # 10 MB stream in 64 KiB pieces: completed blocks never re-decode, so
+    # this must run in seconds, not minutes (the quadratic-retry trap).
+    import time
+
+    data = (b"linear time guarantee %08d " % 12345) * 350000  # ~10.1 MB
+    blob = zlib.compress(data, 6)
+    d = zs.Decompressor()
+    out = bytearray()
+    t0 = time.perf_counter()
+    for i in range(0, len(blob), 65536):
+        out += d.decompress(blob[i : i + 65536])
+    out += d.flush()
+    dt = time.perf_counter() - t0
+    assert bytes(out) == data
+    assert d.eof
+    assert dt < 30.0, f"incremental decode took {dt:.1f}s — quadratic?"

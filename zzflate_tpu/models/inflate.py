@@ -116,6 +116,57 @@ def _read_dynamic_tables(br: BitReader) -> tuple[CanonicalDecoder, CanonicalDeco
     return CanonicalDecoder(ll), CanonicalDecoder(dd)
 
 
+def _decode_block(br: BitReader, out: bytearray, data: bytes) -> int:
+    """Decode ONE deflate block into `out`. Returns the BFINAL bit.
+
+    Raises IndexError/struct.error on input exhaustion (retryable with
+    more input) and ValueError on definitive corruption."""
+    bfinal = br.bits(1)
+    btype = br.bits(2)
+    if btype == 0:
+        br.align()
+        bytepos = br.bitpos >> 3
+        ln, nlen = struct.unpack("<HH", data[bytepos : bytepos + 4])
+        if ln != (nlen ^ 0xFFFF):
+            raise ValueError("stored block LEN/NLEN mismatch")
+        if bytepos + 4 + ln > len(data):
+            raise IndexError("stored block payload truncated")
+        out += data[bytepos + 4 : bytepos + 4 + ln]
+        br.bitpos = (bytepos + 4 + ln) << 3
+    elif btype in (1, 2):
+        if btype == 1:
+            ll_dec, d_dec = _FIXED_LL, _FIXED_D
+        else:
+            ll_dec, d_dec = _read_dynamic_tables(br)
+        while True:
+            sym = ll_dec.decode(br)
+            if sym < 256:
+                out.append(sym)
+            elif sym == 256:
+                break
+            else:
+                lc = sym - 257
+                if lc >= 29:
+                    raise ValueError("invalid length symbol")
+                length = int(C.LENGTH_BASE[lc]) + br.bits(int(C.LENGTH_EXTRA[lc]))
+                dsym = d_dec.decode(br)
+                if dsym >= 30:
+                    raise ValueError("invalid distance symbol")
+                dist = int(C.DIST_BASE[dsym]) + br.bits(int(C.DIST_EXTRA[dsym]))
+                if dist > len(out):
+                    raise ValueError("distance too far back")
+                # Overlapping copy, byte at a time semantics.
+                start = len(out) - dist
+                if dist >= length:
+                    out += out[start : start + length]
+                else:
+                    for i in range(length):
+                        out.append(out[start + i])
+    else:
+        raise ValueError("invalid BTYPE 3")
+    return bfinal
+
+
 def inflate_raw(
     data: bytes,
     dictionary: bytes = b"",
@@ -127,52 +178,43 @@ def inflate_raw(
     out = bytearray(dictionary[-C.WINDOW_SIZE :])
     dict_len = len(out)
     while True:
-        bfinal = br.bits(1)
-        btype = br.bits(2)
-        if btype == 0:
-            br.align()
-            bytepos = br.bitpos >> 3
-            ln, nlen = struct.unpack("<HH", data[bytepos : bytepos + 4])
-            if ln != (nlen ^ 0xFFFF):
-                raise ValueError("stored block LEN/NLEN mismatch")
-            out += data[bytepos + 4 : bytepos + 4 + ln]
-            br.bitpos = (bytepos + 4 + ln) << 3
-        elif btype in (1, 2):
-            if btype == 1:
-                ll_dec, d_dec = _FIXED_LL, _FIXED_D
-            else:
-                ll_dec, d_dec = _read_dynamic_tables(br)
-            while True:
-                sym = ll_dec.decode(br)
-                if sym < 256:
-                    out.append(sym)
-                elif sym == 256:
-                    break
-                else:
-                    lc = sym - 257
-                    if lc >= 29:
-                        raise ValueError("invalid length symbol")
-                    length = int(C.LENGTH_BASE[lc]) + br.bits(int(C.LENGTH_EXTRA[lc]))
-                    dsym = d_dec.decode(br)
-                    if dsym >= 30:
-                        raise ValueError("invalid distance symbol")
-                    dist = int(C.DIST_BASE[dsym]) + br.bits(int(C.DIST_EXTRA[dsym]))
-                    if dist > len(out):
-                        raise ValueError("distance too far back")
-                    # Overlapping copy, byte at a time semantics.
-                    start = len(out) - dist
-                    if dist >= length:
-                        out += out[start : start + length]
-                    else:
-                        for i in range(length):
-                            out.append(out[start + i])
-        else:
-            raise ValueError("invalid BTYPE 3")
-        if bfinal:
+        if _decode_block(br, out, data):
             break
         if stop_after_bytes is not None and len(out) - dict_len >= stop_after_bytes:
             break
     return bytes(out[dict_len:]), br.bitpos
+
+
+def inflate_blocks(
+    data: bytes,
+    window: bytes = b"",
+    bitpos: int = 0,
+    stop_bytes: int = 0,
+) -> tuple[bytes, int, bool, bool]:
+    """Incremental decode of as many COMPLETE blocks as `data` allows.
+
+    Pure-Python analogue of native.inflate_stream (same contract):
+    returns (output, end_bitpos, bfinal_reached, need_more_input); on
+    need_more_input, end_bitpos is the last complete block boundary.
+    ValueError = definitive corruption (the Python bit reader raises
+    IndexError, not garbage decode, on exhaustion, so any ValueError is
+    backed by real input bytes)."""
+    br = BitReader(data, bitpos)
+    out = bytearray(window[-C.WINDOW_SIZE :])
+    dict_len = len(out)
+    chk_bit, chk_w = bitpos, dict_len
+    bfinal = False
+    try:
+        while True:
+            chk_bit, chk_w = br.bitpos, len(out)
+            if _decode_block(br, out, data):
+                bfinal = True
+                break
+            if stop_bytes and len(out) - dict_len >= stop_bytes:
+                break
+    except (IndexError, struct.error):
+        return bytes(out[dict_len:chk_w]), chk_bit, False, True
+    return bytes(out[dict_len:]), br.bitpos, bfinal, False
 
 
 def _inflate_raw_fast(

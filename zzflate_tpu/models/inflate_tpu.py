@@ -284,7 +284,17 @@ def decompress_indexed(data: bytes, verify: bool = True) -> bytes | None:
     if parsed is None:
         return None
     header_len, chunk_bytes, chunks = parsed
-    (crc_expect, isize) = struct.unpack("<II", data[-8:])
+    # The indexed member's extent comes from the index itself, not from
+    # the end of the buffer: a valid stream may append further gzip
+    # members after it (RFC 1952 multi-member). Trailing members are
+    # decoded by the native path and concatenated.
+    member_len = header_len + sum(sz for sz, _ in chunks) + 8
+    if member_len > len(data):
+        return None  # index inconsistent with buffer; fall back
+    (crc_expect, isize) = struct.unpack(
+        "<II", data[member_len - 8 : member_len]
+    )
+    tail = data[member_len:]
     nchunks = len(chunks)
     total_out = isize
     out_sizes = [
@@ -368,4 +378,8 @@ def decompress_indexed(data: bytes, verify: bool = True) -> bytes | None:
             raise ValueError("crc32 mismatch (TPU inflate)")
         if (len(out) & 0xFFFFFFFF) != (isize & 0xFFFFFFFF):
             raise ValueError("isize mismatch (TPU inflate)")
+    if tail:
+        from zzflate_tpu.models import inflate
+
+        out += inflate.decompress(tail, format="gzip")
     return out

@@ -30,7 +30,9 @@ ERRORS = {
     -5: "distance too far back",
     -6: "output buffer full",
     -7: "input overrun",
+    -8: "need more input",
 }
+E_AGAIN = -8
 
 
 def _build() -> bool:
@@ -78,6 +80,19 @@ def lib() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_size_t),  # out_len
             ctypes.POINTER(ctypes.c_size_t),  # end_bit
             ctypes.c_size_t,          # stop_bytes
+        ]
+        L.zzt_inflate_stream.restype = ctypes.c_int
+        L.zzt_inflate_stream.argtypes = [
+            ctypes.c_char_p,          # in
+            ctypes.c_size_t,          # in_len
+            ctypes.c_size_t,          # start_bit
+            ctypes.c_void_p,          # out
+            ctypes.c_size_t,          # out_cap
+            ctypes.c_size_t,          # dict_len
+            ctypes.POINTER(ctypes.c_size_t),  # out_len
+            ctypes.POINTER(ctypes.c_size_t),  # end_bit
+            ctypes.c_size_t,          # stop_bytes
+            ctypes.POINTER(ctypes.c_uint32),  # bfinal_out
         ]
         L.zzt_adler32.restype = ctypes.c_uint32
         L.zzt_adler32.argtypes = [
@@ -134,6 +149,50 @@ def inflate_raw(
         if rc == -6:  # output full: grow and retry
             cap *= 4
             continue
+        raise ValueError(ERRORS.get(rc, f"inflate error {rc}"))
+
+
+def inflate_stream(
+    data: bytes,
+    window: bytes = b"",
+    bitpos: int = 0,
+    stop_bytes: int = 0,
+    out_cap_hint: int | None = None,
+) -> tuple[bytes, int, bool, bool]:
+    """Incremental raw-deflate decode of as many COMPLETE blocks as `data`
+    allows, starting at `bitpos` with `window` as back-reference context.
+
+    Returns (output, end_bitpos, bfinal_reached, need_more_input). When
+    need_more_input is True, end_bitpos is the last complete block
+    boundary; feed more bytes and call again from there. Raises
+    ValueError on corruption strictly inside the available input.
+    """
+    L = lib()
+    if L is None:
+        raise RuntimeError("native library unavailable")
+    window = window[-32768:]
+    dlen = len(window)
+    cap = out_cap_hint or max(4 * len(data) + 4096, 1 << 16)
+    while True:
+        buf = ctypes.create_string_buffer(dlen + cap)
+        if dlen:
+            ctypes.memmove(buf, window, dlen)
+        out_len = ctypes.c_size_t(0)
+        end_bit = ctypes.c_size_t(0)
+        bfinal = ctypes.c_uint32(0)
+        rc = L.zzt_inflate_stream(
+            data, len(data), bitpos, ctypes.byref(buf), dlen + cap, dlen,
+            ctypes.byref(out_len), ctypes.byref(end_bit), stop_bytes,
+            ctypes.byref(bfinal),
+        )
+        if rc == -6:  # output full: grow and retry
+            cap *= 4
+            continue
+        if rc in (OK, E_AGAIN):
+            out = ctypes.string_at(
+                ctypes.addressof(buf) + dlen, out_len.value
+            )
+            return out, end_bit.value, bool(bfinal.value), rc == E_AGAIN
         raise ValueError(ERRORS.get(rc, f"inflate error {rc}"))
 
 

@@ -22,6 +22,7 @@
 #define ZZT_E_DIST (-5)
 #define ZZT_E_OUTFULL (-6)
 #define ZZT_E_INPUT (-7)
+#define ZZT_E_AGAIN (-8) /* stream mode: need more input to finish a block */
 
 /* ---------------- bit reader ---------------- */
 
@@ -238,30 +239,46 @@ static void init_fixed(void) {
  *   end_bit (out)       : bit position one past the final block
  *   stop_bytes          : if nonzero, return after >= this many output
  *                         bytes even without BFINAL (streaming support)
+ *   stream              : nonzero enables incremental semantics: on input
+ *                         exhaustion mid-block, return ZZT_E_AGAIN with
+ *                         out_len/end_bit at the last COMPLETE block
+ *                         boundary (the zlib.h:400 inflate() contract's
+ *                         Z_OK-with-avail_in==0 state)
+ *   bfinal_out          : if non-NULL, set to 1 iff decoding stopped at a
+ *                         BFINAL block end
  * Returns ZZT_OK or a negative error. */
-int zzt_inflate(const uint8_t *in, size_t in_len, size_t start_bit,
-                uint8_t *out, size_t out_cap, size_t dict_len,
-                size_t *out_len, size_t *end_bit, size_t stop_bytes) {
+#define ZFAIL(code) do { rc = (code); goto zz_fail; } while (0)
+
+static int inflate_core(const uint8_t *in, size_t in_len, size_t start_bit,
+                        uint8_t *out, size_t out_cap, size_t dict_len,
+                        size_t *out_len, size_t *end_bit, size_t stop_bytes,
+                        int stream, uint32_t *bfinal_out) {
   bits_t b;
   size_t w = dict_len; /* write cursor into out */
+  size_t chk_bit = start_bit, chk_w = dict_len; /* last block boundary */
+  int rc;
   static __thread htab_t dyn_ll, dyn_d;
 
+  if (bfinal_out) *bfinal_out = 0;
   if (!g_fixed_ready) init_fixed();
   br_init(&b, in, in_len, start_bit);
 
   for (;;) {
-    uint32_t bfinal = br_get(&b, 1);
+    uint32_t bfinal;
+    chk_bit = br_pos(&b);
+    chk_w = w;
+    bfinal = br_get(&b, 1);
     uint32_t btype = br_get(&b, 2);
     const htab_t *ll, *dd;
     if (btype == 0) {
       br_align(&b);
       size_t pos = br_pos(&b) >> 3;
-      if (pos + 4 > in_len) return ZZT_E_INPUT;
+      if (pos + 4 > in_len) ZFAIL(ZZT_E_INPUT);
       uint32_t len = in[pos] | ((uint32_t)in[pos + 1] << 8);
       uint32_t nlen = in[pos + 2] | ((uint32_t)in[pos + 3] << 8);
-      if ((len ^ nlen) != 0xFFFF) return ZZT_E_STORED;
-      if (pos + 4 + len > in_len) return ZZT_E_INPUT;
-      if (w + len > out_cap) return ZZT_E_OUTFULL;
+      if ((len ^ nlen) != 0xFFFF) ZFAIL(ZZT_E_STORED);
+      if (pos + 4 + len > in_len) ZFAIL(ZZT_E_INPUT);
+      if (w + len > out_cap) ZFAIL(ZZT_E_OUTFULL);
       memcpy(out + w, in + pos + 4, len);
       w += len;
       br_init(&b, in, in_len, (pos + 4 + len) * 8);
@@ -277,33 +294,33 @@ int zzt_inflate(const uint8_t *in, size_t in_len, size_t start_bit,
       uint8_t lens[288 + 32];
       uint32_t i;
       htab_t cl_tab;
-      if (hlit > 286 || hdist > 30) return ZZT_E_TABLE;
+      if (hlit > 286 || hdist > 30) ZFAIL(ZZT_E_TABLE);
       for (i = 0; i < hclen; i++) cl_lens[CLORD[i]] = (uint8_t)br_get(&b, 3);
-      if (build_table(cl_lens, 19, &cl_tab) != ZZT_OK) return ZZT_E_TABLE;
+      if (build_table(cl_lens, 19, &cl_tab) != ZZT_OK) ZFAIL(ZZT_E_TABLE);
       for (i = 0; i < hlit + hdist;) {
         int s = decode_sym(&b, &cl_tab);
-        if (s < 0) return ZZT_E_SYMBOL;
+        if (s < 0) ZFAIL(ZZT_E_SYMBOL);
         if (s < 16) {
           lens[i++] = (uint8_t)s;
         } else if (s == 16) {
-          if (i == 0) return ZZT_E_TABLE;
+          if (i == 0) ZFAIL(ZZT_E_TABLE);
           uint32_t r = 3 + br_get(&b, 2);
           uint8_t prev = lens[i - 1];
-          if (i + r > hlit + hdist) return ZZT_E_TABLE;
+          if (i + r > hlit + hdist) ZFAIL(ZZT_E_TABLE);
           while (r--) lens[i++] = prev;
         } else {
           uint32_t r = (s == 17) ? 3 + br_get(&b, 3) : 11 + br_get(&b, 7);
-          if (i + r > hlit + hdist) return ZZT_E_TABLE;
+          if (i + r > hlit + hdist) ZFAIL(ZZT_E_TABLE);
           while (r--) lens[i++] = 0;
         }
       }
-      if (build_table(lens, (int)hlit, &dyn_ll) != ZZT_OK) return ZZT_E_TABLE;
+      if (build_table(lens, (int)hlit, &dyn_ll) != ZZT_OK) ZFAIL(ZZT_E_TABLE);
       if (build_table(lens + hlit, (int)hdist, &dyn_d) != ZZT_OK)
-        return ZZT_E_TABLE;
+        ZFAIL(ZZT_E_TABLE);
       ll = &dyn_ll;
       dd = &dyn_d;
     } else {
-      return ZZT_E_BTYPE;
+      ZFAIL(ZZT_E_BTYPE);
     }
 
     /* Hot token loop: one refill covers a full token (litlen <=15 +
@@ -313,19 +330,19 @@ int zzt_inflate(const uint8_t *in, size_t in_len, size_t start_bit,
       uint32_t e, s, len, dist;
       br_refill(&b);
       if (b.n < 48 && (size_t)(b.end - b.p) < 8 && br_pos(&b) > in_len * 8)
-        return ZZT_E_INPUT;
+        ZFAIL(ZZT_E_INPUT);
       e = ll->root[(uint32_t)b.acc & ((1u << ROOT_BITS) - 1)];
       if (e & 0x80000000u) {
         uint32_t sb = (e >> 16) & 0x7FFF;
         e = ll->pool[(e & 0xFFFF) +
                      (((uint32_t)b.acc >> ROOT_BITS) & ((1u << sb) - 1))];
       }
-      if (!e) return ZZT_E_SYMBOL;
+      if (!e) ZFAIL(ZZT_E_SYMBOL);
       b.acc >>= (e >> 16);
       b.n -= (int)(e >> 16);
       s = e & 0xFFFF;
       if (s < 256) {
-        if (w >= out_cap) return ZZT_E_OUTFULL;
+        if (w >= out_cap) ZFAIL(ZZT_E_OUTFULL);
         out[w++] = (uint8_t)s;
         /* Literal burst: keep decoding literals from the same refill
          * while >=15 accumulator bits remain (a code is <=15 bits). */
@@ -337,7 +354,7 @@ int zzt_inflate(const uint8_t *in, size_t in_len, size_t start_bit,
                          (((uint32_t)b.acc >> ROOT_BITS) & ((1u << sb) - 1))];
           }
           if (!e || (e & 0xFFFF) >= 256) break;
-          if (w >= out_cap) return ZZT_E_OUTFULL;
+          if (w >= out_cap) ZFAIL(ZZT_E_OUTFULL);
           b.acc >>= (e >> 16);
           b.n -= (int)(e >> 16);
           out[w++] = (uint8_t)(e & 0xFFFF);
@@ -347,7 +364,7 @@ int zzt_inflate(const uint8_t *in, size_t in_len, size_t start_bit,
       if (s == 256) break;
       {
         s -= 257;
-        if (s >= 29) return ZZT_E_SYMBOL;
+        if (s >= 29) ZFAIL(ZZT_E_SYMBOL);
         len = LBASE[s] + ((uint32_t)b.acc & ((1u << LEXT[s]) - 1));
         b.acc >>= LEXT[s];
         b.n -= LEXT[s];
@@ -359,17 +376,17 @@ int zzt_inflate(const uint8_t *in, size_t in_len, size_t start_bit,
           e = dd->pool[(e & 0xFFFF) +
                        (((uint32_t)b.acc >> ROOT_BITS) & ((1u << sb) - 1))];
         }
-        if (!e) return ZZT_E_SYMBOL;
+        if (!e) ZFAIL(ZZT_E_SYMBOL);
         b.acc >>= (e >> 16);
         b.n -= (int)(e >> 16);
         ds = (int)(e & 0xFFFF);
-        if (ds >= 30) return ZZT_E_SYMBOL;
+        if (ds >= 30) ZFAIL(ZZT_E_SYMBOL);
         dist = DBASE[ds] + ((uint32_t)b.acc & ((1u << DEXT[ds]) - 1));
         b.acc >>= DEXT[ds];
         b.n -= DEXT[ds];
         }
-        if (dist > w) return ZZT_E_DIST;
-        if (w + len > out_cap) return ZZT_E_OUTFULL;
+        if (dist > w) ZFAIL(ZZT_E_DIST);
+        if (w + len > out_cap) ZFAIL(ZZT_E_OUTFULL);
         {
           const uint8_t *src = out + w - dist;
           uint8_t *dst = out + w;
@@ -406,13 +423,52 @@ int zzt_inflate(const uint8_t *in, size_t in_len, size_t start_bit,
       }
     }
   block_done:
-    if (br_pos(&b) > in_len * 8) return ZZT_E_INPUT;
-    if (bfinal) break;
+    if (br_pos(&b) > in_len * 8) ZFAIL(ZZT_E_INPUT);
+    if (bfinal) {
+      if (bfinal_out) *bfinal_out = 1;
+      break;
+    }
     if (stop_bytes && w - dict_len >= stop_bytes) break;
   }
   *out_len = w - dict_len;
   *end_bit = br_pos(&b);
   return ZZT_OK;
+
+zz_fail:
+  /* Stream mode: an explicit input overrun, or any decode error raised
+   * within a refill (64 bits) of the input end, means the current block
+   * is incomplete -- report the last complete block boundary and ask for
+   * more input. Errors strictly inside the available input are definitive
+   * corruption (decode is prefix-deterministic). OUTFULL stays OUTFULL so
+   * the caller can grow the buffer and retry. */
+  if (stream && rc != ZZT_E_OUTFULL &&
+      (rc == ZZT_E_INPUT || br_pos(&b) + 64 > in_len * 8)) {
+    *out_len = chk_w - dict_len;
+    *end_bit = chk_bit;
+    if (bfinal_out) *bfinal_out = 0;
+    return ZZT_E_AGAIN;
+  }
+  *out_len = w - dict_len;
+  *end_bit = br_pos(&b);
+  return rc;
+}
+
+int zzt_inflate(const uint8_t *in, size_t in_len, size_t start_bit,
+                uint8_t *out, size_t out_cap, size_t dict_len,
+                size_t *out_len, size_t *end_bit, size_t stop_bytes) {
+  return inflate_core(in, in_len, start_bit, out, out_cap, dict_len, out_len,
+                      end_bit, stop_bytes, 0, 0);
+}
+
+/* Incremental entry (SURVEY.md C18 decode side): decodes as many COMPLETE
+ * blocks as the input allows; ZZT_E_AGAIN = feed more and call again from
+ * *end_bit with out[0..dict_len) holding the last 32 KiB of output. */
+int zzt_inflate_stream(const uint8_t *in, size_t in_len, size_t start_bit,
+                       uint8_t *out, size_t out_cap, size_t dict_len,
+                       size_t *out_len, size_t *end_bit, size_t stop_bytes,
+                       uint32_t *bfinal_out) {
+  return inflate_core(in, in_len, start_bit, out, out_cap, dict_len, out_len,
+                      end_bit, stop_bytes, 1, bfinal_out);
 }
 
 /* ---------------- checksums ---------------- */

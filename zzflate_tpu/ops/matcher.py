@@ -46,7 +46,11 @@ _TOO_FAR = 4096  # reject len-3 matches farther than this (zlib heuristic)
 
 
 def _pack_words(data: jax.Array) -> list[jax.Array]:
-    """w[j][i] = little-endian u32 of bytes data[i+4j : i+4j+4] (rolls)."""
+    """w[j][i] = BIG-endian u32 of bytes data[i+4j : i+4j+4] (rolls).
+
+    Big-endian (byte 0 in the high bits) so that unsigned u32 comparison
+    equals byte-lexicographic order — the sorted orders below are then true
+    lexicographic suffix orders, maximizing neighbor candidate quality."""
     d = data.astype(jnp.uint32)
     b = [jnp.roll(d, -s) for s in range(_KEY_BYTES)]
     n = data.shape[0]
@@ -54,21 +58,21 @@ def _pack_words(data: jax.Array) -> list[jax.Array]:
     # Zero out wrapped tail bytes so keys beyond the buffer are stable.
     b = [jnp.where(idx < n - s, v, 0) for s, v in enumerate(b)]
     return [
-        b[4 * j]
-        | (b[4 * j + 1] << 8)
-        | (b[4 * j + 2] << 16)
-        | (b[4 * j + 3] << 24)
+        (b[4 * j] << 24)
+        | (b[4 * j + 1] << 16)
+        | (b[4 * j + 2] << 8)
+        | b[4 * j + 3]
         for j in range(_KEY_BYTES // 4)
     ]
 
 
 def _word_lcp_bytes(x: jax.Array) -> jax.Array:
-    """Leading equal bytes (0..4) of two u32s given their XOR (LE order)."""
+    """Leading equal bytes (0..4) of two u32s given their XOR (BE order)."""
     x = x.astype(jnp.uint32)
-    b0 = (x & jnp.uint32(0xFF)) == 0
-    b1 = b0 & ((x & jnp.uint32(0xFF00)) == 0)
-    b2 = b1 & ((x & jnp.uint32(0xFF0000)) == 0)
-    b3 = b2 & ((x & jnp.uint32(0xFF000000)) == 0)
+    b0 = (x & jnp.uint32(0xFF000000)) == 0
+    b1 = b0 & ((x & jnp.uint32(0xFF0000)) == 0)
+    b2 = b1 & ((x & jnp.uint32(0xFF00)) == 0)
+    b3 = b2 & ((x & jnp.uint32(0xFF)) == 0)
     return (
         b0.astype(jnp.int32)
         + b1.astype(jnp.int32)

@@ -12,6 +12,8 @@ makes the multi-chip ordered-gather stitching legal (SURVEY.md section 3.2).
 """
 from __future__ import annotations
 
+import dataclasses
+import struct
 import zlib as _zlib
 
 from zzflate_tpu import config as cfg_mod
@@ -118,12 +120,14 @@ class Compressor:
         zlib.h:705): pending input is flushed with the OLD parameters at a
         sync-flush point, then later input uses the new ones."""
         out = self.flush(Z_SYNC_FLUSH)
-        self.config = CodecConfig(
-            level=self.config.level if level is None else level,
-            format=self.config.format,
-            chunk_bytes=self.config.chunk_bytes,
-            strategy=self.config.strategy if strategy is None else strategy,
-        )
+        changes = {}
+        if level is not None:
+            changes["level"] = level
+        if strategy is not None:
+            changes["strategy"] = strategy
+        # dataclasses.replace preserves every unspecified field (notably
+        # window_bits), so re-tuning never silently resets other knobs.
+        self.config = dataclasses.replace(self.config, **changes)
         return out
 
     def flush(self, mode: int = Z_SYNC_FLUSH) -> bytes:
@@ -154,31 +158,215 @@ class Compressor:
         return bytes(out)
 
 
-class Decompressor:
-    """Incremental inflate wrapper.
+def _inflate_some(data: bytes, window: bytes, bitpos: int):
+    """Backend dispatch: native streaming decoder, else the Python one.
 
-    v0 semantics: input may arrive in arbitrary pieces; decoded output is
-    produced as soon as the underlying stream is complete (flush()/eof).
+    Returns (out, end_bit, bfinal, need_more)."""
+    try:
+        from zzflate_tpu import native
+
+        if native.lib() is not None:
+            return native.inflate_stream(data, window, bitpos)
+    except (ImportError, RuntimeError):
+        pass
+    return inflate.inflate_blocks(data, window, bitpos)
+
+
+class Decompressor:
+    """Incremental inflate — the inflate(strm) state machine (zlib.h:400).
+
+    Output is produced as soon as complete deflate blocks are available:
+    a 10 MB stream fed in pieces decodes in O(n) total (completed blocks
+    are never re-decoded; only the trailing partial block is retried).
+    Corruption raises ValueError at the first bad block; truncated input
+    simply buffers. Mirrors zlib.decompressobj: `eof`, `unused_data`,
+    `unconsumed_tail`, decompress(data, max_length), flush(). gzip
+    streams decode across members (RFC 1952 concatenation).
     """
 
     def __init__(self, format: str = "zlib", dictionary: bytes | None = None):
         self.format = format
         self.dictionary = dictionary
-        self._buf = bytearray()
+        self._buf = bytearray()  # unconsumed input
+        self._bit = 0  # bit offset into _buf (deflate body state)
+        self._out = bytearray()  # decoded, not yet returned
+        self._state = "body" if format == "raw" else "header"
+        self._window = (dictionary or b"")[-32768:] if format == "raw" else b""
+        self._check = 1 if format == "zlib" else 0  # running adler/crc
+        self._mlen = 0  # member output length
         self.eof = False
+        self.unused_data = b""
+        self.unconsumed_tail = b""  # always consumed; kept for API parity
 
-    def decompress(self, data: bytes) -> bytes:
-        self._buf += data
-        try:
-            out = inflate.decompress(
-                bytes(self._buf), format=self.format, dictionary=self.dictionary
+    # -- state steps (each returns True if it made progress) ---------------
+
+    def _step_header(self) -> bool:
+        buf = self._buf
+        if self.format == "zlib":
+            if len(buf) < 2 or ((buf[1] & 0x20) and len(buf) < 6):
+                return False  # header (or its DICTID) not yet complete
+            hdr_len, dictid = containers.parse_zlib_header(bytes(buf[:6]))
+            if dictid is not None:
+                if len(buf) < 6:
+                    return False
+                if self.dictionary is None:
+                    raise ValueError("stream requires a preset dictionary")
+                if _zlib.adler32(self.dictionary) != dictid:
+                    raise ValueError("dictionary id mismatch")
+                self._window = self.dictionary[-32768:]
+            del buf[:hdr_len]
+        else:  # gzip
+            pos = self._try_gzip_header(bytes(buf))
+            if pos is None:
+                return False
+            del buf[:pos]
+        self._bit = 0
+        self._state = "body"
+        return True
+
+    @staticmethod
+    def _try_gzip_header(b: bytes) -> int | None:
+        """Header length, or None if more bytes are needed. Raises on a
+        malformed header (distinguishing truncation from corruption,
+        unlike containers.parse_gzip_header)."""
+        if len(b) < 10:
+            return None
+        if b[0] != 0x1F or b[1] != 0x8B:
+            raise ValueError("bad gzip magic")
+        if b[2] != 8:
+            raise ValueError(f"unsupported gzip method {b[2]}")
+        flg = b[3]
+        pos = 10
+        if flg & 0x04:  # FEXTRA
+            if pos + 2 > len(b):
+                return None
+            xlen = struct.unpack("<H", b[pos : pos + 2])[0]
+            pos += 2 + xlen
+            if pos > len(b):
+                return None
+        if flg & 0x08:  # FNAME
+            i = b.find(0, pos)
+            if i < 0:
+                return None
+            pos = i + 1
+        if flg & 0x10:  # FCOMMENT
+            i = b.find(0, pos)
+            if i < 0:
+                return None
+            pos = i + 1
+        if flg & 0x02:  # FHCRC
+            pos += 2
+            if pos > len(b):
+                return None
+        return pos
+
+    def _step_body(self) -> bool:
+        data = bytes(self._buf)
+        out, end_bit, bfinal, _again = _inflate_some(
+            data, self._window, self._bit
+        )
+        if out:
+            self._window = (self._window + out)[-32768:]
+            self._mlen += len(out)
+            if self.format == "zlib":
+                self._check = _zlib.adler32(out, self._check)
+            elif self.format == "gzip":
+                self._check = _zlib.crc32(out, self._check)
+            self._out += out
+        if bfinal:
+            drop = (end_bit + 7) >> 3  # trailer is byte-aligned
+            self._bit = 0
+            self._state = {"zlib": "trailer", "gzip": "trailer"}.get(
+                self.format, "end"
             )
-        except (ValueError, IndexError, KeyError):
-            return b""  # incomplete input; wait for more
-        self.eof = True
+            if self.format == "raw":
+                self.eof = True
+        else:
+            drop = end_bit >> 3
+            self._bit = end_bit & 7
+        del self._buf[:drop]
+        if self._state == "end":
+            self.unused_data += bytes(self._buf)
+            self._buf.clear()
+        return bool(out) or bfinal
+
+    def _step_trailer(self) -> bool:
+        if self.format == "zlib":
+            if len(self._buf) < 4:
+                return False
+            (adler,) = struct.unpack(">I", bytes(self._buf[:4]))
+            if adler != (self._check & 0xFFFFFFFF):
+                raise ValueError("adler32 mismatch")
+            del self._buf[:4]
+            self.eof = True
+            self._state = "end"
+            self.unused_data += bytes(self._buf)
+            self._buf.clear()
+            return True
+        # gzip
+        if len(self._buf) < 8:
+            return False
+        crc, isize = struct.unpack("<II", bytes(self._buf[:8]))
+        if crc != (self._check & 0xFFFFFFFF):
+            raise ValueError("crc32 mismatch")
+        if isize != (self._mlen & 0xFFFFFFFF):
+            raise ValueError("isize mismatch")
+        del self._buf[:8]
+        self.eof = True  # a complete stream has been decoded
+        self._state = "maybe_member"
+        return True
+
+    def _step_maybe_member(self) -> bool:
+        if not self._buf:
+            return False
+        if len(self._buf) == 1 and self._buf[0] == 0x1F:
+            return False  # could be the start of another member
+        if self._buf[:2] == b"\x1f\x8b":
+            # Another member: reset per-member state and keep decoding.
+            self.eof = False
+            self._check = 0
+            self._mlen = 0
+            self._window = b""
+            self._state = "header"
+            return True
+        self.unused_data += bytes(self._buf)
+        self._buf.clear()
+        self._state = "end"
+        return True
+
+    def _run(self) -> None:
+        while not self._state == "end":
+            if self._state == "header":
+                ok = self._step_header()
+            elif self._state == "body":
+                ok = self._step_body()
+            elif self._state == "trailer":
+                ok = self._step_trailer()
+            elif self._state == "maybe_member":
+                ok = self._step_maybe_member()
+            else:
+                break
+            if not ok:
+                break
+
+    # -- public API ----------------------------------------------------------
+
+    def decompress(self, data: bytes = b"", max_length: int = 0) -> bytes:
+        if self._state == "end" and data:
+            self.unused_data += bytes(data)
+            data = b""
+        self._buf += data
+        self._run()
+        if max_length and len(self._out) > max_length:
+            out = bytes(self._out[:max_length])
+            del self._out[:max_length]
+            return out
+        out = bytes(self._out)
+        self._out.clear()
         return out
 
-    def flush(self) -> bytes:
-        if not self.eof and self._buf:
-            return self.decompress(b"")
-        return b""
+    def flush(self, length: int = 0) -> bytes:
+        out = self.decompress(b"")
+        if length:
+            return out[:length]
+        return out

@@ -99,6 +99,9 @@ def parse_gzip_index(
                         break
                     seg_bytes, nb = struct.unpack("<IH", body[p : p + 6])
                     p += 6
+                    if p + 8 * nb > len(body):
+                        ok = False
+                        break
                     blocks = []
                     for _ in range(nb):
                         bit_off, out_off = struct.unpack(
