@@ -74,13 +74,20 @@ def main() -> None:
     out = zf.compress(data, level=LEVEL, format="gzip", chunk_bytes=CHUNK_BYTES)
     assert zlib.decompress(out, wbits=31) == data, "round-trip failed"
 
+    from zzflate_tpu.utils import profiling
+
     times = []
+    stages = None
     for _ in range(REPS):
-        t0 = time.perf_counter()
-        out = zf.compress(
-            data, level=LEVEL, format="gzip", chunk_bytes=CHUNK_BYTES
-        )
-        times.append(time.perf_counter() - t0)
+        with profiling.collect() as timer:
+            t0 = time.perf_counter()
+            out = zf.compress(
+                data, level=LEVEL, format="gzip", chunk_bytes=CHUNK_BYTES
+            )
+            dt = time.perf_counter() - t0
+        times.append(dt)
+        if stages is None or dt == min(times):
+            stages = timer.as_ms()
     best = min(times)
     mbps = mb / best
 
@@ -104,6 +111,7 @@ def main() -> None:
         f"dec_native={dec_native:.0f}MB/s dec_tpu={dec_tpu:.2f}MB/s",
         file=sys.stderr,
     )
+    print(f"stages_ms={json.dumps(stages)}", file=sys.stderr)
     print(
         json.dumps(
             {

@@ -77,3 +77,55 @@ def test_resume_skips_existing_and_recovers_lost(tmp_path):
             assert os.path.getmtime(os.path.join(outdir, f)) == t, f
     blob = resume.assemble(outdir, format="gzip")
     assert zlib.decompress(blob, wbits=31) == data
+
+
+def test_multihost_two_processes(tmp_path):
+    """Real 2-process run (jax.distributed over CPU): the distributed
+    stream must be byte-identical to the single-process encode of the
+    full corpus with the same chunking (BASELINE.json:11, SURVEY.md 4.6)."""
+    import socket
+    import subprocess
+    import sys
+
+    import zzflate_tpu as zf
+
+    chunk = 65536
+    data = (
+        open("/usr/include/zlib.h", "rb").read()
+        + np.random.default_rng(5).integers(
+            0, 256, size=120000, dtype=np.uint8
+        ).tobytes()
+    ) * 2
+    corpus = tmp_path / "corpus.bin"
+    corpus.write_bytes(data)
+    out_file = tmp_path / "out.gz"
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["JAX_PLATFORMS"] = "cpu"
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, coord, "2", str(pid), str(corpus),
+             str(chunk), str(out_file)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+        for pid in range(2)
+    ]
+    for p in procs:
+        _, err = p.communicate(timeout=600)
+        assert p.returncode == 0, err.decode()[-2000:]
+
+    blob = out_file.read_bytes()
+    assert zlib.decompress(blob, wbits=31) == data
+    solo = zf.compress(data, level=6, format="gzip", chunk_bytes=chunk)
+    assert blob == solo, (
+        f"distributed stream differs from single-process: "
+        f"{len(blob)} vs {len(solo)} bytes"
+    )

@@ -12,8 +12,11 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -204,6 +207,33 @@ def main():
         )[0]
         return syms + (h[0] & 0)
     bench("hist288_matmul_i8", _hist_mm, i32 % 288)
+
+    # --- scaling probe: same ops at 4x and 16x N (is cost latency-bound?) ---
+    for mult in (4, 16):
+        if args.ops and not any(o.endswith(f"x{mult}") for o in args.ops):
+            if args.ops:
+                continue
+        nn = n * mult
+        rngm = np.random.default_rng(mult)
+        u32m = jnp.asarray(
+            rngm.integers(0, 1 << 32, size=nn, dtype=np.uint32)
+        )
+        i32m = jnp.asarray(rngm.integers(0, nn, size=nn, dtype=np.int32))
+        bench(f"elementwise_x{mult}", lambda s, i: s * 3 + 1, u32m)
+        bench(f"sort_u32_x{mult}",
+              lambda s, i: jnp.sort(s ^ i.astype(jnp.uint32)), u32m)
+
+        def _gatherm(s, i, nn=nn):
+            vals, idx = s
+            g = jnp.take(vals, (idx + i) % nn)
+            return g, idx
+        bench(f"gather_random_x{mult}", _gatherm, (i32m, i32m))
+
+        def _scatmm(s, i, nn=nn):
+            vals, idx = s
+            out = jnp.zeros((nn,), jnp.int32).at[idx].max(vals + i)
+            return out, idx
+        bench(f"scatter_max_x{mult}", _scatmm, (i32m, i32m))
 
     # --- pipeline stages on real shapes ---
     from zzflate_tpu.ops import matcher

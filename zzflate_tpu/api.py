@@ -101,10 +101,12 @@ def _encode_segments(
     fixed_only = config.strategy == cfg_mod.STRATEGY_FIXED
 
     from zzflate_tpu.ops import huffman_host
+    from zzflate_tpu.utils.profiling import maybe_stage
 
-    buf, valid_ends, window_starts, bfinals, nchunks = _build_chunk_batch(
-        data, chunk_bytes, dictionary, mark_final=stream_final
-    )
+    with maybe_stage("build_batches"):
+        buf, valid_ends, window_starts, bfinals, nchunks = _build_chunk_batch(
+            data, chunk_bytes, dictionary, mark_final=stream_final
+        )
     starts = np.full((nchunks,), _WINDOW, dtype=np.int32)
 
     bsz = _device_batch(chunk_bytes)
@@ -144,31 +146,34 @@ def _encode_segments(
 
     # Phase 1: dispatch all analyze batches, then fetch the (tiny) freqs.
     max_dist = min(32768, 1 << config.window_bits)
-    analyzed = [
-        deflate_encoder.analyze_chunks_batch(
-            *db, params, huffman_only=huffman_only,
-            with_checksums=with_checksums,
-            strategy=config.strategy, max_dist=max_dist,
-        )
-        for db in device_batches
-    ]
+    with maybe_stage("analyze_dispatch"):
+        analyzed = [
+            deflate_encoder.analyze_chunks_batch(
+                *db, params, huffman_only=huffman_only,
+                with_checksums=with_checksums,
+                strategy=config.strategy, max_dist=max_dist,
+            )
+            for db in device_batches
+        ]
     # Phase 2: host table build per chunk AND sub-block, then dispatch all
     # emit batches. BFINAL goes on the final chunk's LAST sub-block only.
     emitted = []
     batch_plans = []
     for (b0, b1), db, ana in zip(batch_slices, device_batches, analyzed):
-        freq_ll = np.asarray(ana["freq_ll"])  # (bsz, SB, 288)
-        freq_d = np.asarray(ana["freq_d"])
-        plans = [
-            huffman_host.build_chunk_plan(
-                freq_ll[j],
-                freq_d[j],
-                bfinal=int(bfinals[b0 + j]) if b0 + j < nchunks else 0,
-                fixed_only=fixed_only,
-                force_single=single_block_chunks,
-            )
-            for j in range(bsz)
-        ]
+        with maybe_stage("analyze_fetch_freqs"):
+            freq_ll = np.asarray(ana["freq_ll"])  # (bsz, SB, 288)
+            freq_d = np.asarray(ana["freq_d"])
+        with maybe_stage("host_plan"):
+            plans = [
+                huffman_host.build_chunk_plan(
+                    freq_ll[j],
+                    freq_d[j],
+                    bfinal=int(bfinals[b0 + j]) if b0 + j < nchunks else 0,
+                    fixed_only=fixed_only,
+                    force_single=single_block_chunks,
+                )
+                for j in range(bsz)
+            ]
         batch_plans.append(plans)
 
         def stack(key, dtype):
@@ -179,24 +184,25 @@ def _encode_segments(
                 arr = jax.device_put(arr, sharding)
             return arr
 
-        res = deflate_encoder.emit_chunks_batch(
-            {
-                k: ana[k]
-                for k in (
-                    "committed", "is_match", "litlen_sym", "lcode",
-                    "dcode", "mlen", "mdist",
-                )
-            },
-            out_words,
-            stack("ll_len", np.int32),
-            stack("ll_code", np.uint32),
-            stack("d_len", np.int32),
-            stack("d_code", np.uint32),
-            stack("hdr_vals", np.uint32),
-            stack("hdr_nbits", np.int32),
-            stack("eob_v", np.uint32),
-            stack("eob_nb", np.int32),
-        )
+        with maybe_stage("emit_dispatch"):
+            res = deflate_encoder.emit_chunks_batch(
+                {
+                    k: ana[k]
+                    for k in (
+                        "committed", "is_match", "litlen_sym", "lcode",
+                        "dcode", "mlen", "mdist",
+                    )
+                },
+                out_words,
+                stack("ll_len", np.int32),
+                stack("ll_code", np.uint32),
+                stack("d_len", np.int32),
+                stack("d_code", np.uint32),
+                stack("hdr_vals", np.uint32),
+                stack("hdr_nbits", np.int32),
+                stack("eob_v", np.uint32),
+                stack("eob_nb", np.int32),
+            )
         emitted.append(res)
 
     segments: list[bytes] = []
@@ -210,13 +216,14 @@ def _encode_segments(
         # Fetch the bit counts first, then only the used prefix of the
         # word buffers (device->host bandwidth is the scarce resource;
         # the padded buffers are ~2.5x the compressed size).
-        nbits_np = np.asarray(res["nbits"])
-        sb_bits_np = np.asarray(res["sb_bits"])
-        sb_out_np = np.asarray(res["sb_out"])
-        max_used = min(
-            out_words, int((nbits_np.max() + 3 + 31) // 32) + 1
-        )
-        words_np = np.asarray(res["words"][:, :max_used], dtype="<u4")
+        with maybe_stage("emit_fetch"):
+            nbits_np = np.asarray(res["nbits"])
+            sb_bits_np = np.asarray(res["sb_bits"])
+            sb_out_np = np.asarray(res["sb_out"])
+            max_used = min(
+                out_words, int((nbits_np.max() + 3 + 31) // 32) + 1
+            )
+            words_np = np.asarray(res["words"][:, :max_used], dtype="<u4")
         if with_checksums:
             adlers.extend(int(x) for x in np.asarray(ana["adler"])[: b1 - b0])
             crcs.extend(int(x) for x in np.asarray(ana["crc"])[: b1 - b0])

@@ -105,21 +105,35 @@ def compress_multihost(
     adler = containers.combine_adler(list(zip(res["adler"], lens)))
     crc = containers.combine_crc(list(zip(res["crc"], lens)))
 
-    # Gather ragged payloads: sizes first, then padded bytes.
+    # Gather ragged payloads: sizes first, then the bytes in bounded
+    # slabs. Only process 0 accumulates (every other host's peak is
+    # O(hosts x slab), not O(hosts x max_payload)); the collective is
+    # still a symmetric allgather because JAX has no gather-to-root —
+    # non-roots drop each slab immediately.
     meta = np.array(
         [len(payload), len(local_data), adler, crc], np.int64
     )
     metas = _allgather_np(meta)
     max_len = int(metas[:, 0].max())
-    buf = np.zeros(max_len, np.uint8)
-    buf[: len(payload)] = np.frombuffer(payload, np.uint8)
-    bufs = _allgather_np(buf)
+    SLAB = 4 << 20
+    rounds = max(1, -(-max_len // SLAB))
+    per_host = [bytearray() for _ in range(nproc)] if pid == 0 else None
+    for r in range(rounds):
+        slab = np.zeros(SLAB, np.uint8)
+        piece = payload[r * SLAB : (r + 1) * SLAB]
+        if piece:
+            slab[: len(piece)] = np.frombuffer(piece, np.uint8)
+        got = _allgather_np(slab)
+        if pid == 0:
+            for i in range(nproc):
+                take = min(SLAB, int(metas[i, 0]) - r * SLAB)
+                if take > 0:
+                    per_host[i] += got[i, :take].tobytes()
+        del got
 
     if pid != 0:
         return None
-    full_payload = b"".join(
-        bufs[i, : int(metas[i, 0])].tobytes() for i in range(nproc)
-    )
+    full_payload = b"".join(bytes(p) for p in per_host)
     total_len = int(metas[:, 1].sum())
     full_adler, full_crc = 1, 0
     for i in range(nproc):

@@ -26,6 +26,45 @@ def trace(logdir: str):
         yield
 
 
+_current: "StageTimer | None" = None
+
+
+@contextlib.contextmanager
+def collect():
+    """Activate per-stage timing for the encode pipeline.
+
+    Usage:
+        with profiling.collect() as t:
+            zf.compress(...)
+        print(t.as_ms())
+    api._encode_segments records its phases (batch build, analyze
+    dispatch+freq fetch, host Huffman planning, emit dispatch+fetch,
+    stitch) into the active timer. bench.py uses this for the stages_ms
+    line (SURVEY.md sections 5.1/5.5)."""
+    global _current
+    t = StageTimer()
+    prev, _current = _current, t
+    try:
+        yield t
+    finally:
+        _current = prev
+
+
+def active() -> "StageTimer | None":
+    return _current
+
+
+@contextlib.contextmanager
+def maybe_stage(name: str):
+    """Record a stage on the active collector, if any (zero-cost when off)."""
+    t = _current
+    if t is None:
+        yield
+    else:
+        with t.stage(name):
+            yield
+
+
 class StageTimer:
     def __init__(self):
         self.stages: dict[str, float] = {}
