@@ -59,6 +59,22 @@ def build_corpus(target: int = TARGET_BYTES) -> bytes:
 
 
 def main() -> None:
+    import os
+
+    import jax
+
+    # Persistent compile cache (works for CPU; harmless no-op if the axon
+    # PJRT plugin cannot serialize executables).
+    cache = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp"
+    )
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except (OSError, AttributeError):
+        pass
+
     import zzflate_tpu as zf
 
     data = build_corpus()

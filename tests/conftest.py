@@ -18,3 +18,15 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the encoder graphs take 30-120 s each to
+# compile on CPU; caching them makes suite re-runs minutes faster.
+_cache = os.environ.get(
+    "JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp"
+)
+try:
+    os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+except (OSError, AttributeError):
+    pass

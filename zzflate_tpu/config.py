@@ -1,11 +1,13 @@
 """Codec configuration: compression levels -> matcher effort.
 
 Mirrors the level semantics of the reference-class codec (zlib's
-configuration_table shape, SURVEY.md Appendix B): `chain` bounds how many
-match candidates are examined per position (our candidate-K), `lazy` is the
-max current-match length that may still be deferred, `nice` stops searching
-/ always commits, `good` halves the effort after a good match (advisory in
-the TPU design: candidate count is a static kernel parameter).
+configuration_table shape, SURVEY.md Appendix B), re-expressed for the
+sort-based matcher: zlib ramps effort by walking longer hash chains
+(`chain` 4 -> 4096); here the equivalents are `candidates` (how many
+sorted-neighbor suffixes are scored per position) and `key_words` (how
+many u32 words of suffix prefix the sort orders by — deeper keys rank
+large equal-prefix groups exactly, which is what long chain walks buy).
+`max_lazy`/`nice` keep zlib's lazy-deferral semantics.
 """
 from __future__ import annotations
 
@@ -19,27 +21,26 @@ WINDOW_BYTES = 1 << 15
 class LevelParams:
     level: int
     lazy_mode: bool  # False = greedy commit, True = one-byte-defer
-    good: int
     max_lazy: int
     nice: int
-    chain: int
-    # TPU kernel parameter: number of sorted-neighbor candidates scored per
-    # position. Chain-walks beyond ~16 hit diminishing returns because the
-    # sort already orders candidates by recency (closest-first).
+    # TPU kernel parameters (static): number of sorted-neighbor candidates
+    # scored per position, and suffix-sort key depth in u32 words
+    # (4 = 16-byte keys, 16 = 64-byte true-suffix order).
     candidates: int
+    key_words: int
 
 
 # level -> params; level 0 is stored-only (handled in the container layer).
 LEVELS: dict[int, LevelParams] = {
-    1: LevelParams(1, False, 4, 4, 8, 4, 4),
-    2: LevelParams(2, False, 4, 5, 16, 8, 6),
-    3: LevelParams(3, False, 4, 6, 32, 32, 8),
-    4: LevelParams(4, True, 4, 4, 16, 16, 8),
-    5: LevelParams(5, True, 8, 16, 32, 32, 12),
-    6: LevelParams(6, True, 8, 16, 128, 128, 16),
-    7: LevelParams(7, True, 8, 32, 128, 256, 20),
-    8: LevelParams(8, True, 32, 128, 258, 1024, 24),
-    9: LevelParams(9, True, 32, 258, 258, 4096, 32),
+    1: LevelParams(1, False, 4, 8, 4, 4),
+    2: LevelParams(2, False, 5, 16, 6, 4),
+    3: LevelParams(3, False, 6, 32, 8, 4),
+    4: LevelParams(4, True, 4, 16, 8, 8),
+    5: LevelParams(5, True, 16, 32, 12, 8),
+    6: LevelParams(6, True, 16, 128, 16, 16),
+    7: LevelParams(7, True, 32, 128, 20, 16),
+    8: LevelParams(8, True, 128, 258, 24, 16),
+    9: LevelParams(9, True, 258, 258, 32, 16),
 }
 
 # Encoding strategies (zlib.h:196-200 contract).

@@ -138,7 +138,8 @@ def _encode_impl(
         mdist = jnp.zeros((n,), jnp.int32)
     else:
         mlen, mdist = matcher.find_matches(
-            data, valid_end, window_start, params.candidates
+            data, valid_end, window_start, params.candidates,
+            key_words=params.key_words,
         )
     committed, take = matcher.parse_commit(
         mlen,
@@ -364,7 +365,8 @@ def _tokenize(data, start, valid_end, window_start, params, huffman_only,
         mdist = jnp.zeros((n,), jnp.int32)
     else:
         mlen, mdist = matcher.find_matches(
-            data, valid_end, window_start, params.candidates
+            data, valid_end, window_start, params.candidates,
+            key_words=params.key_words,
         )
         drop = jnp.zeros_like(mlen, dtype=bool)
         if strategy == 3:  # Z_RLE: only run matches at distance one

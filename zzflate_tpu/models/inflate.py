@@ -238,6 +238,17 @@ def _inflate_raw_fast(
     return inflate_raw(data, dictionary, bitpos)
 
 
+def _inflate_raw_or_value_error(data, dictionary, bitpos, out_hint=None):
+    """One-shot decode for the public API: truncation inside the deflate
+    body (IndexError/struct.error from the bit reader) is definitive here
+    — there is no more input coming — so surface it as ValueError
+    (zlib.h:400 contract: the one-shot interface raises on bad streams)."""
+    try:
+        return _inflate_raw_fast(data, dictionary, bitpos, out_hint)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"truncated deflate stream: {e}") from e
+
+
 def decompress(
     data: bytes, format: str = "zlib", dictionary: bytes | None = None
 ) -> bytes:
@@ -249,8 +260,12 @@ def decompress(
                 raise ValueError("stream requires a preset dictionary")
             if _zlib.adler32(dictionary) != dictid:
                 raise ValueError("dictionary id mismatch")
-        out, endbit = _inflate_raw_fast(data, dictionary or b"", hdr_len * 8)
+        out, endbit = _inflate_raw_or_value_error(
+            data, dictionary or b"", hdr_len * 8
+        )
         endbyte = (endbit + 7) >> 3
+        if endbyte + 4 > len(data):
+            raise ValueError("truncated zlib trailer")
         (adler,) = struct.unpack(">I", data[endbyte : endbyte + 4])
         if _zlib.adler32(out) != adler:
             raise ValueError("adler32 mismatch")
@@ -263,8 +278,12 @@ def decompress(
         while pos < len(data):
             member = data[pos:]
             hdr_len = containers.parse_gzip_header(member)
-            out, endbit = _inflate_raw_fast(member, b"", hdr_len * 8)
+            out, endbit = _inflate_raw_or_value_error(
+                member, b"", hdr_len * 8
+            )
             endbyte = (endbit + 7) >> 3
+            if endbyte + 8 > len(member):
+                raise ValueError("truncated gzip trailer")
             crc, isize = struct.unpack(
                 "<II", member[endbyte : endbyte + 8]
             )
@@ -278,6 +297,6 @@ def decompress(
                 break  # trailing garbage is tolerated (gzip(1) behavior)
         return b"".join(parts)
     if format == "raw":
-        out, _ = _inflate_raw_fast(data, dictionary or b"")
+        out, _ = _inflate_raw_or_value_error(data, dictionary or b"", 0)
         return out
     raise ValueError(f"unknown format {format!r}")

@@ -297,6 +297,19 @@ def decompress_indexed(data: bytes, verify: bool = True) -> bytes | None:
     tail = data[member_len:]
     nchunks = len(chunks)
     total_out = isize
+    # Validate the (untrusted) index before any of it parameterizes device
+    # shapes or jit arguments: a lying 'ZZ' subfield must raise ValueError,
+    # never overflow int32 args or allocate absurd buffers (SURVEY.md 4.4).
+    if not 1024 <= chunk_bytes <= (1 << 27):
+        raise ValueError("ZZ index: implausible chunk_bytes")
+    if isize > nchunks * chunk_bytes:
+        raise ValueError("ZZ index: isize exceeds indexed chunk capacity")
+    for sz, blocks in chunks:
+        if sz > len(data) or len(blocks) > max(1, chunk_bytes // 1024):
+            raise ValueError("ZZ index: implausible segment record")
+        for bit_off, out_off in blocks:
+            if bit_off >= 8 * max(sz, 1) or out_off > chunk_bytes:
+                raise ValueError("ZZ index: block offsets out of range")
     out_sizes = [
         min(chunk_bytes, max(0, total_out - i * chunk_bytes))
         for i in range(nchunks)
@@ -315,25 +328,29 @@ def decompress_indexed(data: bytes, verify: bool = True) -> bytes | None:
     pos = header_len
     units = []  # (seg_index, plan, global_out_base)
     segs = []
-    for i, (sz, blocks) in enumerate(chunks):
-        seg = data[pos : pos + sz]
-        pos += sz
-        segs.append(seg)
-        br = BitReader(seg, 0)
-        br.bits(1)
-        if br.bits(2) == 0:
-            plan = _plan_stored(seg, out_sizes[i])
-            litval[out_starts[i] : out_starts[i] + len(plan.raw)] = (
-                np.frombuffer(plan.raw, np.uint8)
-            )
-            # dist=0 breaker so a previous chunk's match segment cannot
-            # bleed into this chunk's bytes in the resolver.
-            start_init[out_starts[i]] = out_starts[i]
-            continue
-        for bit_off, out_off in blocks:
-            units.append(
-                (i, _plan_block(seg, bit_off), out_starts[i] + out_off)
-            )
+    try:
+        for i, (sz, blocks) in enumerate(chunks):
+            seg = data[pos : pos + sz]
+            pos += sz
+            segs.append(seg)
+            br = BitReader(seg, 0)
+            br.bits(1)
+            if br.bits(2) == 0:
+                plan = _plan_stored(seg, out_sizes[i])
+                litval[out_starts[i] : out_starts[i] + len(plan.raw)] = (
+                    np.frombuffer(plan.raw, np.uint8)
+                )
+                # dist=0 breaker so a previous chunk's match segment cannot
+                # bleed into this chunk's bytes in the resolver.
+                start_init[out_starts[i]] = out_starts[i]
+                continue
+            for bit_off, out_off in blocks:
+                units.append(
+                    (i, _plan_block(seg, bit_off), out_starts[i] + out_off)
+                )
+    except (IndexError, struct.error) as e:
+        # Host header/LUT parsing ran off the segment: the index lied.
+        raise ValueError(f"corrupt indexed segment: {e}") from e
 
     lv = jnp.asarray(litval)
     sm = jnp.asarray(start_init)

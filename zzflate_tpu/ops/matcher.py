@@ -7,24 +7,29 @@ target chip showed the one expensive primitive is the random gather
 (~200M elements/s) while sorts, rolls and elementwise passes are fast, so
 this matcher is built almost entirely from sorts and rolls:
 
-- **Candidate lookup = suffix sort.** lexsort all positions by their
-  16-byte prefix (4 packed u32 words). The K elements preceding a
-  position in sort order are the K lexicographically-nearest previous
-  suffixes — a strictly stronger candidate set than a hash chain's
-  most-recent-3-byte-prefix list for short matches. Neighbors are reached
-  with rolls, not gathers.
+- **Candidate lookup = suffix sort.** One multi-operand `lax.sort` orders
+  all positions by their `key_words * 4`-byte prefix (u32 words carried
+  through the sort together with the position payload — no post-sort
+  gathers). The K elements around a position in sort order are the K
+  lexicographically-nearest previous suffixes — a strictly stronger
+  candidate set than a hash chain's most-recent-3-byte-prefix list.
+  Deeper keys (64 bytes at level >= 6) rank large equal-prefix groups
+  exactly, which is what zlib's long chain walks (chain 128..4096,
+  SURVEY.md Appendix B) buy on homogeneous data.
 - **Exact LCPs from adjacent compares.** The LCP between sort-neighbors
-  is the running min of adjacent-element LCPs (computed once from the
-  sorted key words with elementwise ops); min over a K-window needs K
-  rolls.
+  is the running min of adjacent-element LCPs (ultrametric inequality;
+  computed once from the sorted key words with elementwise ops); min over
+  a K-window needs K rolls, fused in one Pallas stencil on real TPUs.
 - **Long-match extension by block ranks.** Positions whose best neighbor
-  shares the full 16-byte key extend by comparing *dense ranks of 16-byte
-  blocks* (rank equality <=> exact 16-byte equality — no hashing, no
-  correctness risk): one (N,) gather per 16 bytes instead of sixteen.
-  A final sub-block LCP tops up the tail.
-- **Commit (greedy/lazy parse) = pointer doubling**, unchanged: the
-  committed set is the orbit of `next[p] = p + (commit ? len : 1)` found
-  in ceil(log2 N) gather+scatter rounds.
+  shares the full key extend by comparing *dense ranks of key-sized
+  blocks* (rank equality <=> exact block equality — no hashing, no
+  correctness risk): one (N,) gather per key-width instead of one per
+  byte. Rank arrays at 16/32/64-byte granularity all fall out of the one
+  sorted order (cumsum of adjacent-LCP thresholds), so the tail refines
+  in O(log key) steps.
+- **Commit (greedy/lazy parse) = pointer doubling**: the committed set is
+  the orbit of `next[p] = p + (commit ? len : 1)` found in ceil(log2 N)
+  gather+scatter rounds.
 """
 from __future__ import annotations
 
@@ -40,19 +45,17 @@ from zzflate_tpu.constants import MAX_MATCH, MIN_MATCH, WINDOW_SIZE
 # to fall back to the pure-XLA roll loop).
 _USE_PALLAS = os.environ.get("ZZFLATE_NO_PALLAS") != "1"
 
-_KEY_BYTES = 16
-_EXT_BLOCKS = 16  # 16 blocks x 16 B = 256 B + 16 B key >= MAX_MATCH
 _TOO_FAR = 4096  # reject len-3 matches farther than this (zlib heuristic)
 
 
-def _pack_words(data: jax.Array) -> list[jax.Array]:
+def _pack_words(data: jax.Array, nwords: int) -> list[jax.Array]:
     """w[j][i] = BIG-endian u32 of bytes data[i+4j : i+4j+4] (rolls).
 
     Big-endian (byte 0 in the high bits) so that unsigned u32 comparison
     equals byte-lexicographic order — the sorted orders below are then true
     lexicographic suffix orders, maximizing neighbor candidate quality."""
     d = data.astype(jnp.uint32)
-    b = [jnp.roll(d, -s) for s in range(_KEY_BYTES)]
+    b = [jnp.roll(d, -s) for s in range(4 * nwords)]
     n = data.shape[0]
     idx = jnp.arange(n)
     # Zero out wrapped tail bytes so keys beyond the buffer are stable.
@@ -62,7 +65,7 @@ def _pack_words(data: jax.Array) -> list[jax.Array]:
         | (b[4 * j + 1] << 16)
         | (b[4 * j + 2] << 8)
         | b[4 * j + 3]
-        for j in range(_KEY_BYTES // 4)
+        for j in range(nwords)
     ]
 
 
@@ -81,7 +84,7 @@ def _word_lcp_bytes(x: jax.Array) -> jax.Array:
     )
 
 
-def _merge(best_len, best_dist, s_len, s_dist, spos, adj, n):
+def _merge(best_len, best_dist, s_len, s_dist, spos, n):
     """Scatter sort-space results to position order and fold into bests."""
     p_len = jnp.zeros((n,), jnp.int32).at[spos].set(s_len)
     p_dist = jnp.zeros((n,), jnp.int32).at[spos].set(s_dist)
@@ -92,28 +95,100 @@ def _merge(best_len, best_dist, s_len, s_dist, spos, adj, n):
     better = better & (p_len > 0)
     best_len = jnp.where(better, p_len, best_len)
     best_dist = jnp.where(better, p_dist, best_dist)
-    return best_len, best_dist, adj, spos
+    return best_len, best_dist
 
 
-def _lcp16(aw: list[jax.Array], bw: list[jax.Array]) -> jax.Array:
-    """Byte LCP (0..16) of two 16-byte keys given as 4 u32 words each."""
-    l0 = _word_lcp_bytes(aw[0] ^ bw[0])
-    l1 = _word_lcp_bytes(aw[1] ^ bw[1])
-    l2 = _word_lcp_bytes(aw[2] ^ bw[2])
-    l3 = _word_lcp_bytes(aw[3] ^ bw[3])
-    lcp = l0
-    lcp = lcp + jnp.where(l0 == 4, l1, 0)
-    lcp = lcp + jnp.where((l0 == 4) & (l1 == 4), l2, 0)
-    lcp = lcp + jnp.where((l0 == 4) & (l1 == 4) & (l2 == 4), l3, 0)
+def _lcp_words(aw: list[jax.Array], bw: list[jax.Array]) -> jax.Array:
+    """Byte LCP (0..4*len(aw)) of two keys given as u32 word lists."""
+    lcp = None
+    all_eq = None
+    for a, b in zip(aw, bw):
+        l = _word_lcp_bytes(a ^ b)
+        if lcp is None:
+            lcp, all_eq = l, l == 4
+        else:
+            lcp = lcp + jnp.where(all_eq, l, 0)
+            all_eq = all_eq & (l == 4)
     return lcp
 
 
-@functools.partial(jax.jit, static_argnames=("candidates",))
+def _scan_order(sw, spos, srank, window_start, best_len, best_dist,
+                k_each, lcp_cap, n, backward_only=False):
+    """Score K neighbors (both directions) of one sorted suffix order.
+
+    A previous occurrence with a long common prefix may sit on either
+    side in sort order, so scan both ways. LCP(i, i±k) is the running
+    min of adjacent LCPs (valid in any order by the ultrametric
+    inequality) — all rolls, no gathers. Returns merged per-position
+    bests plus this order's adjacent-LCP array (sort space).
+    """
+    adj = _lcp_words([jnp.roll(v, 1) for v in sw], sw)
+    adj = adj.at[0].set(0)
+
+    # Pallas on real TPUs; the (bit-identical) XLA roll loop on CPU —
+    # interpret-mode Pallas is much slower than XLA there.
+    if _USE_PALLAS and jax.default_backend() != "cpu":
+        from zzflate_tpu.ops import pallas_kernels as pk
+
+        s_len, s_dist = pk.scan_candidates(
+            adj, spos, window_start, k_each, lcp_cap=lcp_cap,
+            backward_only=backward_only,
+        )
+        bl, bd = _merge(best_len, best_dist, s_len, s_dist, spos, n)
+        return bl, bd, adj
+
+    s_len = jnp.zeros((n,), jnp.int32)
+    s_dist = jnp.zeros((n,), jnp.int32)
+
+    def consider(s_len, s_dist, ln_ok, dist, ok):
+        ln = jnp.where(ok, ln_ok, 0)
+        better = (ln > s_len) | (
+            (ln == s_len) & (ln > 0) & (dist < s_dist)
+        )
+        better = better & ok
+        return (
+            jnp.where(better, ln, s_len),
+            jnp.where(better, dist, s_dist),
+        )
+
+    back_min = jnp.full((n,), lcp_cap, jnp.int32)
+    fwd_min = jnp.full((n,), lcp_cap, jnp.int32)
+    for k in range(1, k_each + 1):
+        back_min = jnp.minimum(back_min, jnp.roll(adj, k - 1))
+        cpos = jnp.roll(spos, k)
+        dist = spos - cpos
+        ok = (
+            (srank >= k)
+            & (dist >= 1)
+            & (dist <= WINDOW_SIZE)
+            & (cpos >= window_start)
+        )
+        s_len, s_dist = consider(s_len, s_dist, back_min, dist, ok)
+
+        if backward_only:
+            continue
+        fwd_min = jnp.minimum(fwd_min, jnp.roll(adj, -k))
+        cpos = jnp.roll(spos, -k)
+        dist = spos - cpos
+        ok = (
+            (srank < n - k)
+            & (dist >= 1)
+            & (dist <= WINDOW_SIZE)
+            & (cpos >= window_start)
+        )
+        s_len, s_dist = consider(s_len, s_dist, fwd_min, dist, ok)
+
+    bl, bd = _merge(best_len, best_dist, s_len, s_dist, spos, n)
+    return bl, bd, adj
+
+
+@functools.partial(jax.jit, static_argnames=("candidates", "key_words"))
 def find_matches(
     data: jax.Array,
     valid_end: jax.Array,
     window_start: jax.Array,
     candidates: int,
+    key_words: int = 4,
 ):
     """Best match per position.
 
@@ -123,134 +198,101 @@ def find_matches(
       window_start: scalar int32; match sources must be >= this (bytes
         before it are padding, not part of the decoder's window).
       candidates: static K, number of nearest previous suffixes scored.
+      key_words: static suffix-sort key depth in u32 words (the sort is a
+        true lexicographic suffix order to 4*key_words bytes).
 
     Returns:
       (mlen, mdist): int32 (N,) arrays; mlen is 0 or in [3, 258].
     """
     n = data.shape[0]
     pos = jnp.arange(n, dtype=jnp.int32)
-    w = _pack_words(data)
+    key_bytes = 4 * key_words
+    w = _pack_words(data, key_words)
     srank = jnp.arange(n, dtype=jnp.int32)
-
-    def scan_order(order, best_len, best_dist, k_each, backward_only=False):
-        """Score K neighbors (both directions) of one suffix order.
-
-        A previous occurrence with a long common prefix may sit on either
-        side in sort order (e.g. an end-padded suffix sorts before its
-        extensions), so scan both ways. LCP(i, i±k) is the running min of
-        adjacent LCPs — all rolls, no gathers. Returns the merged
-        per-position bests plus this order's adjacency info.
-        """
-        sw = [jnp.take(v, order) for v in w]
-        spos = order
-        adj = _lcp16([jnp.roll(v, 1) for v in sw], sw)
-        adj = adj.at[0].set(0)
-
-        # Pallas on real TPUs; the (bit-identical) XLA roll loop on CPU —
-        # interpret-mode Pallas is much slower than XLA there.
-        if _USE_PALLAS and jax.default_backend() != "cpu":
-            from zzflate_tpu.ops import pallas_kernels as pk
-
-            s_len, s_dist = pk.scan_candidates(
-                adj, spos, window_start, k_each,
-                backward_only=backward_only,
-            )
-            return _merge(best_len, best_dist, s_len, s_dist, spos, adj, n)
-
-        s_len = jnp.zeros((n,), jnp.int32)
-        s_dist = jnp.zeros((n,), jnp.int32)
-
-        def consider(s_len, s_dist, ln_ok, dist, ok):
-            ln = jnp.where(ok, ln_ok, 0)
-            better = (ln > s_len) | (
-                (ln == s_len) & (ln > 0) & (dist < s_dist)
-            )
-            better = better & ok
-            return (
-                jnp.where(better, ln, s_len),
-                jnp.where(better, dist, s_dist),
-            )
-
-        back_min = jnp.full((n,), 16, jnp.int32)
-        fwd_min = jnp.full((n,), 16, jnp.int32)
-        for k in range(1, k_each + 1):
-            back_min = jnp.minimum(back_min, jnp.roll(adj, k - 1))
-            cpos = jnp.roll(spos, k)
-            dist = spos - cpos
-            ok = (
-                (srank >= k)
-                & (dist >= 1)
-                & (dist <= WINDOW_SIZE)
-                & (cpos >= window_start)
-            )
-            s_len, s_dist = consider(s_len, s_dist, back_min, dist, ok)
-
-            if backward_only:
-                continue
-            fwd_min = jnp.minimum(fwd_min, jnp.roll(adj, -k))
-            cpos = jnp.roll(spos, -k)
-            dist = spos - cpos
-            ok = (
-                (srank < n - k)
-                & (dist >= 1)
-                & (dist <= WINDOW_SIZE)
-                & (cpos >= window_start)
-            )
-            s_len, s_dist = consider(s_len, s_dist, fwd_min, dist, ok)
-
-        return _merge(best_len, best_dist, s_len, s_dist, spos, adj, n)
 
     best_len = jnp.zeros((n,), jnp.int32)
     best_dist = jnp.zeros((n,), jnp.int32)
 
-    # Order A — by 4-byte key only: stable sort keeps equal groups in
-    # position order, so backward neighbors are the MOST RECENT previous
-    # occurrences of the same 4-byte prefix — exactly the reference's
-    # hash-chain candidate order (SURVEY.md C5), with zero collisions.
-    # Backward-only: with a stable sort, forward neighbors in this order
-    # are almost always FUTURE positions (invalid sources); the rare
-    # cross-group len-3 candidates are covered by order B's forward scan.
-    order4 = jnp.lexsort((w[0],)).astype(jnp.int32)
-    best_len, best_dist, _, _ = scan_order(
-        order4, best_len, best_dist, min(candidates, 8), backward_only=True
+    # Order A — by the 4-byte leading word: the stable sort keeps equal
+    # groups in position order, so backward neighbors are the MOST RECENT
+    # previous occurrences of the same 4-byte prefix — exactly the
+    # reference's hash-chain candidate order (SURVEY.md C5), with zero
+    # collisions. Backward-only: forward neighbors in this order are
+    # almost always FUTURE positions (invalid sources); the rare
+    # cross-group candidates are covered by order B's forward scan.
+    # The first min(key_words, 4) key words ride along so adjacent LCPs
+    # are byte-exact to 16 bytes inside equal-w0 groups.
+    a_words = min(key_words, 4)
+    sortedA = jax.lax.sort(
+        tuple(w[:a_words]) + (pos,), num_keys=1, is_stable=True
+    )
+    best_len, best_dist, _ = _scan_order(
+        list(sortedA[:a_words]), sortedA[a_words], srank, window_start,
+        best_len, best_dist, min(candidates, 8), 4 * a_words, n,
+        backward_only=True,
     )
 
-    # Order B — by the full 16-byte key: neighbors are the suffixes with
-    # the LONGEST common prefixes (what a deep chain walk searches for).
-    order16 = jnp.lexsort((w[3], w[2], w[1], w[0])).astype(jnp.int32)
-    best_len, best_dist, adj16, spos16 = scan_order(
-        order16, best_len, best_dist, candidates
+    # Order B — the full-depth suffix order: neighbors are the suffixes
+    # with the LONGEST common prefixes (what a deep chain walk searches
+    # for). All key words + position are carried through one sort.
+    sortedB = jax.lax.sort(
+        tuple(w) + (pos,), num_keys=key_words, is_stable=True
+    )
+    swB = list(sortedB[:key_words])
+    sposB = sortedB[key_words]
+    best_len, best_dist, adjB = _scan_order(
+        swB, sposB, srank, window_start, best_len, best_dist,
+        candidates, key_bytes, n,
     )
 
     mlen = best_len
     mdist = best_dist
 
-    # Dense rank of each 16-byte key (exact equality classes) for the
-    # long-match extension: rank16[p] identifies p's 16-byte block content.
-    key_change = (adj16 < 16).astype(jnp.int32)
-    rank_sorted = jnp.cumsum(key_change)
-    rank16 = jnp.zeros((n,), jnp.int32).at[spos16].set(rank_sorted)
+    # Dense ranks of key-block prefixes at 16/32/../key_bytes granularity
+    # (equality of rank_L <=> exact equality of the leading L bytes), all
+    # from the ONE sorted order: a new L-byte prefix starts exactly where
+    # the adjacent LCP drops below L.
+    def rank_of(width):
+        change = (adjB < width).astype(jnp.int32)
+        rs = jnp.cumsum(change)
+        return jnp.zeros((n,), jnp.int32).at[sposB].set(rs)
 
-    # Extend full-key matches in 16-byte block steps via rank equality.
-    full = mlen >= _KEY_BYTES
+    rank_levels = []
+    width = 16
+    while width <= key_bytes:
+        rank_levels.append((width, rank_of(width)))
+        width *= 2
+    rank_key = rank_levels[-1][1]  # full key_bytes rank
+
+    # Extend full-key matches in key_bytes-block steps via rank equality.
+    full = mlen >= key_bytes
     cand = pos - mdist
     alive = full
     ext = jnp.zeros((n,), jnp.int32)
-    for k in range(1, _EXT_BLOCKS):
-        eq = jnp.roll(rank16, -16 * k) == jnp.take(
-            rank16, cand + 16 * k, mode="clip"
+    ext_blocks = -(-MAX_MATCH // key_bytes)  # ceil: covers to >= 258
+    for k in range(1, ext_blocks):
+        eq = jnp.roll(rank_key, -key_bytes * k) == jnp.take(
+            rank_key, cand + key_bytes * k, mode="clip"
         )
-        eq = eq & (pos + 16 * k < n - _KEY_BYTES)
+        eq = eq & (pos + key_bytes * (k + 1) <= n)
         alive = alive & eq
         ext = ext + alive.astype(jnp.int32)
 
-    # Tail: sub-block LCP at the first unequal block.
-    tail_p = pos + 16 * (ext + 1)
-    tail_c = cand + 16 * (ext + 1)
-    pw = [jnp.take(v, tail_p, mode="clip") for v in w]
-    cw = [jnp.take(v, tail_c, mode="clip") for v in w]
-    tail = _lcp16(pw, cw)
-    mlen = jnp.where(full, 16 * (ext + 1) + tail, mlen)
+    # Tail: refine inside the first unequal block by descending the rank
+    # ladder (key/2, .., 16 bytes), then a final sub-16-byte word LCP.
+    off = key_bytes * (ext + 1)
+    for width, rank_w in reversed(rank_levels[:-1]):
+        eq = (
+            jnp.take(rank_w, pos + off, mode="clip")
+            == jnp.take(rank_w, cand + off, mode="clip")
+        ) & (pos + off + width <= n)
+        off = off + jnp.where(eq, width, 0)
+    tail_p = pos + off
+    tail_c = cand + off
+    pw = [jnp.take(w[j], tail_p, mode="clip") for j in range(4)]
+    cw = [jnp.take(w[j], tail_c, mode="clip") for j in range(4)]
+    tail = _lcp_words(pw, cw)
+    mlen = jnp.where(full, off + tail, mlen)
 
     mlen = jnp.minimum(mlen, jnp.minimum(MAX_MATCH, valid_end - pos))
     mlen = jnp.where(

@@ -35,7 +35,7 @@ _PAD_POS = -(1 << 30)
 
 
 def _scan_kernel(ws_ref, adj, adj_p, adj_n, pos, pos_p, pos_n,
-                 out_len, out_dist, *, k_each, backward_only):
+                 out_len, out_dist, *, k_each, lcp_cap, backward_only):
     a = adj[:]
     ap = adj_p[:]
     an = adj_n[:]
@@ -60,8 +60,8 @@ def _scan_kernel(ws_ref, adj, adj_p, adj_n, pos, pos_p, pos_n,
 
     s_len = jnp.zeros_like(a)
     s_dist = jnp.zeros_like(a)
-    back_min = jnp.full_like(a, 16)
-    fwd_min = jnp.full_like(a, 16)
+    back_min = jnp.full_like(a, lcp_cap)
+    fwd_min = jnp.full_like(a, lcp_cap)
 
     def consider(s_len, s_dist, ln_ok, dist, ok):
         ln = jnp.where(ok, ln_ok, 0)
@@ -92,13 +92,15 @@ def _scan_kernel(ws_ref, adj, adj_p, adj_n, pos, pos_p, pos_n,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k_each", "backward_only", "interpret")
+    jax.jit,
+    static_argnames=("k_each", "lcp_cap", "backward_only", "interpret"),
 )
 def scan_candidates(
     adj: jax.Array,
     spos: jax.Array,
     window_start: jax.Array,
     k_each: int,
+    lcp_cap: int = 16,
     backward_only: bool = False,
     interpret: bool = False,
 ):
@@ -130,7 +132,8 @@ def scan_candidates(
                       memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(
-            _scan_kernel, k_each=k_each, backward_only=backward_only
+            _scan_kernel, k_each=k_each, lcp_cap=lcp_cap,
+            backward_only=backward_only,
         ),
         grid=(grid,),
         in_specs=[

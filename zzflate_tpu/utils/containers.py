@@ -145,14 +145,24 @@ def parse_gzip_header(data: bytes) -> int:
     flg = data[3]
     pos = 10
     if flg & 0x04:  # FEXTRA
+        if pos + 2 > len(data):
+            raise ValueError("truncated FEXTRA length")
         xlen = struct.unpack("<H", data[pos : pos + 2])[0]
         pos += 2 + xlen
     if flg & 0x08:  # FNAME
-        pos = data.index(b"\x00", pos) + 1
+        try:
+            pos = data.index(b"\x00", pos) + 1
+        except ValueError:
+            raise ValueError("unterminated FNAME") from None
     if flg & 0x10:  # FCOMMENT
-        pos = data.index(b"\x00", pos) + 1
+        try:
+            pos = data.index(b"\x00", pos) + 1
+        except ValueError:
+            raise ValueError("unterminated FCOMMENT") from None
     if flg & 0x02:  # FHCRC
         pos += 2
+    if pos > len(data):
+        raise ValueError("truncated gzip header")
     return pos
 
 
