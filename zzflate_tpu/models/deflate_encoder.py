@@ -401,32 +401,81 @@ def _tokenize(data, start, valid_end, window_start, params, huffman_only,
     return committed, is_match, litlen_sym, lcode, dcode, mlen, mdist
 
 
-def _analyze_impl(data, start, valid_end, window_start, params,
-                  huffman_only=False, with_checksums=False,
-                  strategy=0, max_dist=32768):
-    """Phase 1 (device): match+parse+histograms.
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "params", "huffman_only", "with_checksums", "strategy", "max_dist"
+    ),
+)
+def analyze_chunks_batch(data, starts, valid_ends, window_starts, params,
+                         huffman_only=False, with_checksums=False,
+                         strategy=0, max_dist=32768):
+    """Phase 1 (device): match + parse + histograms on a (B, N) batch.
 
+    The matcher is vmapped (independent per-chunk sorts); the parse runs
+    BATCH-FLAT through matcher.parse_commit_batch — its serial row sweeps
+    must see all chunks as one wide lane axis, not a vmapped loop (the
+    fori_loop lanes are nearly free, vmap-lifted fat passes are not).
     The small freq arrays go to the host for the table build; the big
     per-position arrays stay device-resident and feed phase 2 directly
     (match finding is the dominant cost — never recompute it)."""
-    committed, is_match, litlen_sym, lcode, dcode, mlen, mdist = _tokenize(
-        data, start, valid_end, window_start, params, huffman_only,
-        strategy, max_dist,
+    bch, n = data.shape
+    if huffman_only:
+        mlen = jnp.zeros((bch, n), jnp.int32)
+        mdist = jnp.zeros((bch, n), jnp.int32)
+    else:
+        mlen, mdist = jax.vmap(
+            lambda d, ve, ws: matcher.find_matches(
+                d, ve, ws, params.candidates, key_words=params.key_words
+            )
+        )(data, valid_ends, window_starts)
+        drop = jnp.zeros_like(mlen, dtype=bool)
+        if strategy == 3:  # Z_RLE: only run matches at distance one
+            drop = drop | (mdist != 1)
+        elif strategy == 1:  # Z_FILTERED: skip short matches
+            drop = drop | (mlen < 5)
+        if max_dist < 32768:
+            drop = drop | (mdist > max_dist)
+        mlen = jnp.where(drop, 0, mlen)
+        mdist = jnp.where(drop, 0, mdist)
+
+    committed, take = matcher.parse_commit_batch(
+        mlen, mdist, starts, valid_ends,
+        lazy=params.lazy_mode, max_lazy=params.max_lazy, nice=params.nice,
     )
-    bounds = sub_block_bounds(data.shape[0])
-    freq_ll = jnp.stack([
-        huffman.histogram(
-            litlen_sym[s:e], committed[s:e], C.NUM_LITLEN_SYMBOLS
-        )
-        for s, e in zip(bounds[:-1], bounds[1:])
-    ])
-    freq_d = jnp.stack([
-        huffman.histogram(dcode[s:e], is_match[s:e], C.NUM_DIST_SYMBOLS)
-        for s, e in zip(bounds[:-1], bounds[1:])
-    ])
+    is_match = take
+
+    lcode = jnp.take(
+        jnp.asarray(C.LENGTH_TO_CODE), jnp.clip(mlen, 0, C.MAX_MATCH),
+        mode="clip",
+    )
+    dcode = (
+        jnp.searchsorted(
+            jnp.asarray(C.DIST_BASE), jnp.maximum(mdist, 1), side="right"
+        ).astype(jnp.int32)
+        - 1
+    )
+    litlen_sym = jnp.where(is_match, 257 + lcode, data.astype(jnp.int32))
+
+    bounds = sub_block_bounds(n)
+
+    def chunk_hists(sym, com, ism, dc):
+        fll = jnp.stack([
+            huffman.histogram(sym[s:e], com[s:e], C.NUM_LITLEN_SYMBOLS)
+            for s, e in zip(bounds[:-1], bounds[1:])
+        ])
+        fd = jnp.stack([
+            huffman.histogram(dc[s:e], ism[s:e], C.NUM_DIST_SYMBOLS)
+            for s, e in zip(bounds[:-1], bounds[1:])
+        ])
+        return fll, fd
+
+    freq_ll, freq_d = jax.vmap(chunk_hists)(
+        litlen_sym, committed, is_match, dcode
+    )
     out = {
-        "freq_ll": freq_ll,  # (SB, 288)
-        "freq_d": freq_d,    # (SB, 30)
+        "freq_ll": freq_ll,  # (B, SB, 288)
+        "freq_d": freq_d,    # (B, SB, 30)
         "committed": committed,
         "is_match": is_match,
         "litlen_sym": litlen_sym,
@@ -438,25 +487,13 @@ def _analyze_impl(data, start, valid_end, window_start, params,
     if with_checksums:
         from zzflate_tpu.ops import checksums as cs
 
-        out["adler"] = cs._adler32_impl(data, valid_end, start)
-        out["crc"] = cs._crc32_impl(data, valid_end, start)
+        out["adler"] = jax.vmap(
+            lambda d, e, s: cs._adler32_impl(d, e, s)
+        )(data, valid_ends, starts)
+        out["crc"] = jax.vmap(
+            lambda d, e, s: cs._crc32_impl(d, e, s)
+        )(data, valid_ends, starts)
     return out
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "params", "huffman_only", "with_checksums", "strategy", "max_dist"
-    ),
-)
-def analyze_chunks_batch(data, starts, valid_ends, window_starts, params,
-                         huffman_only=False, with_checksums=False,
-                         strategy=0, max_dist=32768):
-    fn = functools.partial(
-        _analyze_impl, params=params, huffman_only=huffman_only,
-        with_checksums=with_checksums, strategy=strategy, max_dist=max_dist,
-    )
-    return jax.vmap(fn)(data, starts, valid_ends, window_starts)
 
 
 def _emit_impl(
