@@ -2,33 +2,42 @@
 
 DEFLATE decode is bit-serial: each symbol's width is unknown until the
 previous symbol is decoded. The TPU-native answer (cf. the parallel-
-decompression literature referenced in PAPERS.md, patterns only) is:
+decompression literature referenced in PAPERS.md, patterns only):
 
-1. **Chunk parallelism.** Our encoder writes an FEXTRA 'ZZ' index with the
-   per-chunk compressed sizes (utils/containers.py), so the member splits
-   into byte-aligned segments that decode independently (the sync-flush
-   framing every chunk carries).
-2. **Speculative per-bit decode.** Inside a chunk, decode a *candidate
-   token at every bit position at once*: one LUT gather gives (symbol,
-   code bits); three more dependent gathers complete length/distance extra
-   bits. Each position learns its token's total bit width locally.
-3. **Pointer doubling.** next[p] = p + width(p) defines a successor graph;
-   the true token boundaries are the orbit of bit 0 — found in O(log n)
-   gather rounds, exactly like the encoder's parse commit (ops/matcher.py).
-4. **Parallel LZ resolution.** Committed tokens scatter their output spans
-   (start, dist) into the global output; a segmented cummax gives every
-   output byte its covering token; parent[i] = i - dist (literals are
-   roots); pointer doubling over parent resolves all copies — including
-   overlapping (dist < len) and cross-chunk (32 KiB halo) references —
-   in ceil(log2 N) gathers.
-
-Header parsing (block type, code lengths) is a few hundred serial bits per
-chunk and stays on the host; the 2^15-entry decode LUTs are built with
-numpy strided fills.
+1. **Flat bit-space.** The whole compressed body lives in ONE device
+   buffer; every device pass is proportional to the *compressed* size
+   (no per-segment padding). The FEXTRA 'ZZ' index written by our
+   encoder (utils/containers.py) gives each block's absolute bit offset
+   and output offset, so all blocks decode as independent walks of the
+   same bit-space.
+2. **Speculative per-bit decode, 2 gathers/bit.** Bit windows for every
+   position are built with shift algebra (zero gathers); the litlen and
+   distance LUTs carry base+extra-bit metadata pre-packed, so a
+   candidate token at every bit costs one gather per LUT. LUTs are
+   built ON DEVICE from ~700-byte canonical descriptors (counts/first/
+   offsets/symbols) — the host never materialises 2^15-entry tables.
+3. **Hierarchical serial row sweeps** find the true token boundaries:
+   exit-of-row for every bit (one 256-step reverse sweep), then
+   exit-of-superrow (another 256-step sweep over rows), then per-block
+   walks chain superrows (<= ~34 steps), expand to row entries, and a
+   final 256-step sweep marks committed tokens. Total serial depth is
+   ~1000 tiny steps instead of 22 full-width gather/scatter doubling
+   rounds — the same trade the encoder's parse makes (ops/matcher.py).
+4. **Parallel LZ resolution.** Committed tokens scatter (start, dist)
+   spans into the output index space; a segmented cummax gives every
+   output byte its covering token; parent[i] = i - dist pointer
+   doubling (with a convergence test, so typical streams stop after a
+   few rounds) resolves all copies — overlapping (dist < len) and
+   cross-chunk (32 KiB halo) alike.
+5. **Device-resident output.** The decoded bytes stay on device; CRC-32
+   runs there too (ops/checksums.py) and only 4 bytes come back to
+   verify. `to_device=True` returns the device array — the TPU data-
+   loading path. Byte fetches happen in bounded slices (this box's
+   device->host path is latency-bound; see BASELINE.md).
 
 Streams without a 'ZZ' index fall back to the native C decoder
 (zzflate_tpu/native). Only streams produced by this package are indexed,
-so the one-compressed-block-per-segment layout is guaranteed.
+so the one-block-per-index-entry layout is guaranteed.
 """
 from __future__ import annotations
 
@@ -46,239 +55,462 @@ from zzflate_tpu.models.inflate import BitReader, _read_dynamic_tables
 from zzflate_tpu.utils import containers
 
 _LUT_BITS = 15
-_SENTINEL = jnp.int32(1 << 30)
+_R = 256                      # row size in bits for the commit sweeps
+_RR = _R * _R                 # superrow size
+_HUGE = _R + 1                # step value meaning "EOB / invalid: stop"
+
+_MAX_LL = 288
+_MAX_D = 32  # HDIST is 5 bits: up to 32 dist codes (30/31 invalid if used)
 
 
 # ---------------------------------------------------------------------------
-# Host: per-segment header parse + LUT build.
+# Module constants (device-cached on first use).
 # ---------------------------------------------------------------------------
 
 
-def _build_lut(lengths: np.ndarray) -> np.ndarray:
-    """(1<<15,) uint32 LUT: index = next 15 bits (LSB-first stream order),
-    value = (code_bits << 16) | symbol; 0 = invalid."""
-    lengths = np.asarray(lengths, np.int32)
-    codes = C.canonical_codes(lengths)
-    rev = C.bit_reverse(codes, lengths)
-    lut = np.zeros(1 << _LUT_BITS, np.uint32)
-    for sym in range(lengths.size):
-        ln = int(lengths[sym])
-        if ln:
-            lut[int(rev[sym]) :: 1 << ln] = (ln << 16) | sym
-    return lut
+@functools.cache
+def _brev15() -> np.ndarray:
+    """brev15[w] = 15-bit reversal of w: the MSB-first code value whose
+    LSB-first stream bits are w's low bits (any code length: the first
+    ln bits of the reversal depend only on w's low ln bits)."""
+    w = np.arange(1 << _LUT_BITS, dtype=np.uint32)
+    r = np.zeros_like(w)
+    for i in range(_LUT_BITS):
+        r |= ((w >> i) & 1) << (_LUT_BITS - 1 - i)
+    return r.astype(np.int32)
 
 
-class _SegPlan:
-    """Host-side decode plan for one indexed segment."""
+@functools.cache
+def _ll_attr() -> np.ndarray:
+    """Per-litlen-symbol attributes: lext(3b) | lbase<<3 (9b) |
+    eob<<12 | islen<<13 | bad<<14 (RFC 1951 3.2.5)."""
+    a = np.zeros(_MAX_LL, np.int32)
+    a[256] = 1 << 12
+    for s in range(257, 286):
+        a[s] = (
+            int(C.LENGTH_EXTRA[s - 257])
+            | (int(C.LENGTH_BASE[s - 257]) << 3)
+            | (1 << 13)
+        )
+    a[286] = a[287] = 1 << 14  # reserved symbols: corrupt if used
+    return a
 
-    __slots__ = (
-        "kind", "raw", "body_bit", "ll_lut", "d_lut", "out_bytes"
-    )
 
-    def __init__(self, kind, raw=None, body_bit=0, ll_lut=None, d_lut=None,
-                 out_bytes=0):
-        self.kind = kind  # "stored" | "coded"
-        self.raw = raw
-        self.body_bit = body_bit
-        self.ll_lut = ll_lut
-        self.d_lut = d_lut
-        self.out_bytes = out_bytes
+@functools.cache
+def _d_attr() -> np.ndarray:
+    """Per-distance-symbol attributes: dext(4b) | dbase<<4 (15b).
+    Symbols 30/31 keep attr 0 (dbase 0 marks them corrupt if decoded)."""
+    a = np.zeros(_MAX_D, np.int32)
+    for s in range(30):
+        a[s] = int(C.DIST_EXTRA[s]) | (int(C.DIST_BASE[s]) << 4)
+    return a
 
 
-def _plan_stored(seg: bytes, out_bytes: int) -> _SegPlan:
+# ---------------------------------------------------------------------------
+# Host: per-block canonical descriptors (tiny; LUTs are built on device).
+# ---------------------------------------------------------------------------
+
+
+def _canon_desc(dec, nsym: int):
+    """(first16, cnt16, off16, symtab) int32 arrays from a CanonicalDecoder."""
+    first = np.zeros(16, np.int32)
+    cnt = np.zeros(16, np.int32)
+    off = np.zeros(16, np.int32)
+    for ln in range(1, min(dec.max_len, 15) + 1):
+        cnt[ln] = dec.counts[ln]
+        first[ln] = dec.first_code[ln]
+        off[ln] = dec.offsets[ln]
+    symtab = np.zeros(nsym, np.int32)
+    symtab[: len(dec.syms)] = dec.syms
+    return first, cnt, off, symtab
+
+
+class _FixedDecs:
+    """Cached CanonicalDecoder pair for BTYPE=1 blocks."""
+
+    _pair = None
+
+    @classmethod
+    def get(cls):
+        if cls._pair is None:
+            from zzflate_tpu.models.inflate import CanonicalDecoder
+
+            cls._pair = (
+                CanonicalDecoder(list(C.fixed_litlen_lengths())),
+                CanonicalDecoder(list(C.fixed_dist_lengths())),
+            )
+        return cls._pair
+
+
+class _Unit:
+    __slots__ = ("bit", "out_base", "ll", "d")
+
+    def __init__(self, bit, out_base, ll, d):
+        self.bit = bit          # absolute bit offset into the body
+        self.out_base = out_base
+        self.ll = ll            # (first, cnt, off, symtab) litlen
+        self.d = d              # (first, cnt, off, symtab) dist
+
+
+def _plan_units(body: bytes, chunks, out_starts, out_sizes, header_len):
+    """Host walk: per indexed block, parse its header into canonical
+    descriptors; stored segments are collected as (offsets, bytes)."""
+    units = []
+    stored_idx: list[np.ndarray] = []
+    stored_val: list[np.ndarray] = []
+    pos = 0
+    for i, (sz, blocks) in enumerate(chunks):
+        seg = body[pos : pos + sz]
+        seg_bit0 = pos * 8
+        pos += sz
+        br = BitReader(seg, 0)
+        br.bits(1)
+        if br.bits(2) == 0:
+            raw = _stored_bytes(seg, out_sizes[i])
+            stored_idx.append(
+                np.arange(out_starts[i], out_starts[i] + len(raw), dtype=np.int64)
+            )
+            stored_val.append(np.frombuffer(raw, np.uint8))
+            continue
+        for bit_off, out_off in blocks:
+            b = BitReader(seg, bit_off)
+            b.bits(1)
+            btype = b.bits(2)
+            if btype == 1:
+                lld, dd = _FixedDecs.get()
+            elif btype == 2:
+                lld, dd = _read_dynamic_tables(b)
+            else:
+                raise ValueError("corrupt indexed segment: bad BTYPE")
+            units.append(
+                _Unit(
+                    seg_bit0 + b.bitpos,
+                    out_starts[i] + out_off,
+                    _canon_desc(lld, _MAX_LL),
+                    _canon_desc(dd, _MAX_D),
+                )
+            )
+    return units, stored_idx, stored_val
+
+
+def _stored_bytes(seg: bytes, out_bytes: int) -> bytes:
     """Walk the byte-aligned stored blocks of a fallback segment (host)."""
     br = BitReader(seg, 0)
     raw = bytearray()
     while len(raw) < out_bytes:
         br.bits(3)
         br.align()
-        pos = br.bitpos >> 3
-        (ln,) = struct.unpack("<H", seg[pos : pos + 2])
-        raw += seg[pos + 4 : pos + 4 + ln]
-        br.bitpos = (pos + 4 + ln) << 3
-    return _SegPlan("stored", raw=bytes(raw), out_bytes=out_bytes)
+        p = br.bitpos >> 3
+        (ln,) = struct.unpack("<H", seg[p : p + 2])
+        raw += seg[p + 4 : p + 4 + ln]
+        br.bitpos = (p + 4 + ln) << 3
+    return bytes(raw)
 
 
-def _plan_block(seg: bytes, bit_off: int) -> _SegPlan:
-    """Parse one block header at `bit_off` and build its decode LUTs."""
-    br = BitReader(seg, bit_off)
-    br.bits(1)  # BFINAL (stream layout comes from the index)
-    btype = br.bits(2)
-    if btype == 1:
-        ll_len = C.fixed_litlen_lengths()
-        d_len = C.fixed_dist_lengths()
-    else:
-        ll_dec, d_dec = _read_dynamic_tables(br)
-        ll_len = _decoder_lengths(ll_dec, 288)
-        d_len = _decoder_lengths(d_dec, 30)
-    return _SegPlan(
-        "coded",
-        body_bit=br.bitpos,
-        ll_lut=_build_lut(ll_len),
-        d_lut=_build_lut(d_len),
+# ---------------------------------------------------------------------------
+# Device: LUT build + per-bit decode + hierarchical commit + LZ resolve.
+# ---------------------------------------------------------------------------
+
+
+def _build_luts(first, cnt, off, symtab, attr, nsym, sym_bits):
+    """(U,16)x3 + (U,nsym) descriptors -> (U, 2^15) packed LUT.
+
+    Entry: sym(sym_bits) | nb<<sym_bits (4b) | attr<<(sym_bits+4);
+    0 = invalid window. sym_bits=10 (litlen, 15-bit attr) or 5
+    (distance, whose 19-bit attr would overflow u32 with a 10-bit
+    symbol field)."""
+    c = jnp.asarray(_brev15())[None, :]  # (1, 32768) reversed windows
+    u = first.shape[0]
+    ln_sel = jnp.zeros((u, 1 << _LUT_BITS), jnp.int32)
+    idx_sel = jnp.zeros((u, 1 << _LUT_BITS), jnp.int32)
+    for ln in range(1, 16):
+        code = c >> (_LUT_BITS - ln)
+        f = first[:, ln][:, None]
+        hit = (
+            (cnt[:, ln][:, None] > 0)
+            & (code >= f)
+            & (code < f + cnt[:, ln][:, None])
+            & (ln_sel == 0)
+        )
+        ln_sel = jnp.where(hit, ln, ln_sel)
+        idx_sel = jnp.where(hit, off[:, ln][:, None] + code - f, idx_sel)
+    sym = jnp.take_along_axis(
+        symtab, jnp.clip(idx_sel, 0, nsym - 1), axis=1
+    )
+    a = attr[sym]
+    ent = sym | (ln_sel << sym_bits) | (a << (sym_bits + 4))
+    return jnp.where(ln_sel > 0, ent, 0)
+
+
+def _bit_windows(words: jax.Array):
+    """48+-bit windows for every bit position, zero gathers: for bit
+    p = 32w + s, win_lo = bits p..p+31, win_hi = bits p+32..p+63."""
+    s = jnp.arange(32, dtype=jnp.uint32)[None, :]
+    w0 = words[:-2, None]
+    w1 = words[1:-1, None]
+    w2 = words[2:, None]
+    inv = jnp.uint32(31) - s
+    lo = (w0 >> s) | ((w1 << inv) << jnp.uint32(1))
+    hi = (w1 >> s) | ((w2 << inv) << jnp.uint32(1))
+    return lo.reshape(-1), hi.reshape(-1)
+
+
+def _extract(lo, hi, offset, n):
+    """n (<=15) bits at bit `offset` (<=35) of the 64-bit window (lo, hi)."""
+    o = jnp.minimum(offset, 31).astype(jnp.uint32)
+    a = (lo >> o) | ((hi << (jnp.uint32(31) - o)) << jnp.uint32(1))
+    b = hi >> jnp.clip(offset - 32, 0, 31).astype(jnp.uint32)
+    r = jnp.where(offset < 32, a, b)
+    mask = (jnp.uint32(1) << n.astype(jnp.uint32)) - jnp.uint32(1)
+    return (r & mask).astype(jnp.int32)
+
+
+def _decode_bits(win_lo, win_hi, uid, ll_lut, d_lut):
+    """Candidate token at every bit: (step, outlen, lit, mdist, kind)."""
+    lut_mask = jnp.uint32((1 << _LUT_BITS) - 1)
+    flat_ll = ll_lut.reshape(-1)
+    flat_d = d_lut.reshape(-1)
+    base = uid << _LUT_BITS
+
+    e = flat_ll[base + (win_lo & lut_mask).astype(jnp.int32)]
+    sym = e & 0x3FF
+    nb = (e >> 10) & 15
+    a = e >> 14
+    lext = a & 7
+    lbase = (a >> 3) & 511
+    valid = (nb > 0) & ((a & (1 << 14)) == 0)
+    iseob = (a & (1 << 12)) != 0
+    islen = (a & (1 << 13)) != 0
+    mlen = lbase + _extract(win_lo, win_hi, nb, lext)
+
+    off2 = nb + lext
+    w2 = _extract(win_lo, win_hi, off2, jnp.int32(_LUT_BITS))
+    de = flat_d[base + w2]
+    dnb = (de >> 5) & 15
+    da = de >> 9
+    dext = da & 15
+    dbase = (da >> 4) & 32767
+    dvalid = (dnb > 0) & (dbase > 0)  # dbase 0 = reserved symbol 30/31
+    mdist = dbase + _extract(win_lo, win_hi, off2 + dnb, dext)
+
+    invalid = ~valid | (islen & ~dvalid)
+    width = jnp.where(islen, off2 + dnb + dext, nb)
+    step = jnp.where(invalid | iseob, _HUGE, width)
+    islit = valid & ~iseob & ~islen
+    outlen = jnp.where(islit, 1, jnp.where(islen & ~invalid, mlen, 0))
+    return step, outlen, sym, mdist, islit, islen & ~invalid
+
+
+def _commit_walk(step, start_bits, unit_valid, max_sup_span):
+    """Exact token-boundary commit via hierarchical serial sweeps.
+
+    step: (nbits,) per-bit token width (_HUGE stops the walk);
+    start_bits: (U,) absolute first-token bit per block. Returns the
+    (nbits,) bool committed mask. nbits must be a multiple of _R*_R."""
+    nbits = step.shape[0]
+    nrows = nbits // _R
+    nsup = nbits // _RR
+    sink = jnp.int32(nbits)
+
+    # P1: exit-of-row for every bit (reverse sweep, _R steps).
+    st_t = step.reshape(nrows, _R).T  # (_R, nrows)
+    row_base = jnp.arange(nrows, dtype=jnp.int32) * _R
+
+    def p1(t, ex):
+        j = _R - 1 - t
+        s = jax.lax.dynamic_slice(st_t, (j, 0), (1, nrows))[0]
+        land = j + s
+        hop = jnp.take_along_axis(
+            ex, jnp.clip(land, 0, _R - 1)[None, :], axis=0
+        )[0]
+        val = jnp.where(
+            s > _R, sink, jnp.where(land >= _R, row_base + land, hop)
+        )
+        val = jnp.minimum(val, sink)
+        return jax.lax.dynamic_update_slice(ex, val[None, :], (j, 0))
+
+    ex = jax.lax.fori_loop(
+        0, _R, p1, jnp.zeros((_R, nrows), jnp.int32)
+    )
+    exit1 = ex.T.reshape(-1)  # (nbits,)
+
+    # P2a: exit-of-superrow for every bit (reverse sweep over rows).
+    e1s = exit1.reshape(nsup, _R, _R)
+    sup_end = (jnp.arange(nsup, dtype=jnp.int32)[:, None] + 1) * _RR
+
+    def p2a(t, e2):
+        j = _R - 1 - t
+        x1 = jax.lax.dynamic_slice(e1s, (0, j, 0), (nsup, 1, _R))[:, 0, :]
+        hop = e2.reshape(-1)[jnp.clip(x1, 0, nbits - 1)]
+        val = jnp.where(x1 >= sup_end, x1, hop)
+        return jax.lax.dynamic_update_slice(e2, val[:, None, :], (0, j, 0))
+
+    e2 = jax.lax.fori_loop(
+        0, _R, p2a, jnp.zeros((nsup, _R, _R), jnp.int32)
+    )
+    exit2 = e2.reshape(-1)
+
+    # P2b: per-block superrow chain (few steps, U lanes).
+    e0 = jnp.where(unit_valid, start_bits, sink)
+    u = e0.shape[0]
+
+    def p2b(k, state):
+        ents, e = state
+        ents = jax.lax.dynamic_update_slice(ents, e[None, :], (k, 0))
+        nxt = exit2[jnp.clip(e, 0, nbits - 1)]
+        e = jnp.where(e >= sink, sink, nxt)
+        return ents, e
+
+    sup_ents, _ = jax.lax.fori_loop(
+        0, max_sup_span, p2b,
+        (jnp.full((max_sup_span, u), sink, jnp.int32), e0),
     )
 
+    # P2c: expand superrow entries to row entries (walk exit1 in-sup).
+    pos0 = sup_ents.reshape(-1)
+    row_entry = jnp.full((nrows,), sink, jnp.int32)
 
-def _decoder_lengths(dec, n: int) -> np.ndarray:
-    """Recover the per-symbol length array from a CanonicalDecoder."""
-    lengths = np.zeros(n, np.int32)
-    i = 0
-    for ln in range(1, dec.max_len + 1):
-        for _ in range(dec.counts[ln]):
-            lengths[dec.syms[i]] = ln
-            i += 1
-    return lengths
+    def p2c(t, state):
+        rent, pos = state
+        r = jnp.where(pos < sink, pos // _R, nrows)
+        rent = rent.at[r].min(pos, mode="drop")
+        nxt = exit1[jnp.clip(pos, 0, nbits - 1)]
+        same_sup = (nxt // _RR) == (pos // _RR)
+        pos = jnp.where((pos < sink) & same_sup, nxt, sink)
+        return rent, pos
 
+    row_entry, _ = jax.lax.fori_loop(0, _R, p2c, (row_entry, pos0))
 
-# ---------------------------------------------------------------------------
-# Device: speculative per-bit token decode + commit + global scatter.
-# ---------------------------------------------------------------------------
+    # P3: mark committed token starts (every entered row, _R steps).
+    mark = jnp.zeros((nbits + 1,), jnp.int8)
 
-
-def _window(words: jax.Array, bitpos: jax.Array) -> jax.Array:
-    """32-bit little-endian bit window starting at `bitpos` (clamped)."""
-    i = jnp.clip(bitpos >> 5, 0, words.shape[0] - 1)
-    sh = (bitpos & 31).astype(jnp.uint32)
-    w0 = words[i]
-    w1 = words[jnp.clip(i + 1, 0, words.shape[0] - 1)]
-    lo = w0 >> sh
-    hi = (w1 << (jnp.uint32(31) - sh)) << jnp.uint32(1)
-    return lo | hi
-
-
-def _bits(words: jax.Array, bitpos: jax.Array, n: jax.Array) -> jax.Array:
-    mask = (jnp.uint32(1) << n.astype(jnp.uint32)) - jnp.uint32(1)
-    return _window(words, bitpos) & mask
-
-
-def _decode_core(words, ll_lut, d_lut, body_bit, max_bits):
-    """Speculative token decode at every bit offset of one chunk body."""
-    rel = jnp.arange(max_bits, dtype=jnp.int32)
-    p = body_bit + rel
-    lut_mask = jnp.uint32((1 << _LUT_BITS) - 1)
-
-    e = ll_lut[(_window(words, p) & lut_mask).astype(jnp.int32)]
-    sym = (e & jnp.uint32(0xFFFF)).astype(jnp.int32)
-    nb = (e >> jnp.uint32(16)).astype(jnp.int32)
-    is_lit = (sym < 256) & (nb > 0)
-    is_eob = (sym == 256) & (nb > 0)
-    is_len = (sym > 256) & (nb > 0)
-
-    lc = jnp.clip(sym - 257, 0, 28)
-    lext = jnp.take(jnp.asarray(C.LENGTH_EXTRA), lc)
-    lbase = jnp.take(jnp.asarray(C.LENGTH_BASE), lc)
-    mlen = lbase + _bits(words, p + nb, lext).astype(jnp.int32)
-
-    p2 = p + nb + lext
-    de = d_lut[(_window(words, p2) & lut_mask).astype(jnp.int32)]
-    dsym = (de & jnp.uint32(0xFFFF)).astype(jnp.int32)
-    dnb = (de >> jnp.uint32(16)).astype(jnp.int32)
-    dsym_c = jnp.clip(dsym, 0, 29)
-    dext = jnp.take(jnp.asarray(C.DIST_EXTRA), dsym_c)
-    dbase = jnp.take(jnp.asarray(C.DIST_BASE), dsym_c)
-    mdist = dbase + _bits(words, p2 + dnb, dext).astype(jnp.int32)
-
-    bad_len = is_len & ((dnb == 0) | (sym > 285) | (dsym > 29))
-    width = jnp.where(is_len, nb + lext + dnb + dext, nb)
-    invalid = (nb == 0) | bad_len
-    nxt = jnp.where(invalid | is_eob, _SENTINEL, rel + width)
-    nxt = jnp.minimum(nxt, max_bits)  # clamp into the sink slot
-    outlen = jnp.where(is_lit, 1, jnp.where(is_len, mlen, 0))
-
-    # Pointer doubling: orbit of rel=0 under nxt.
-    g = jnp.concatenate([nxt, jnp.int32(max_bits)[None]])
-    reach = jnp.zeros((max_bits + 1,), jnp.int32).at[0].set(1)
-    for _ in range(max(1, max_bits.bit_length())):
-        hopped = jnp.zeros((max_bits + 1,), jnp.int32).at[g].max(
-            reach, mode="drop"
+    def p3(t, state):
+        mk, pos = state
+        active = pos < sink
+        mk = mk.at[jnp.clip(pos, 0, nbits)].max(
+            jnp.where(active, 1, 0).astype(jnp.int8), mode="drop"
         )
-        reach = jnp.maximum(reach, hopped)
-        g = g[jnp.clip(g, 0, max_bits)]
-    committed = (reach[:max_bits] == 1) & ~invalid & ~is_eob
+        s = step[jnp.clip(pos, 0, nbits - 1)]
+        nxt = pos + s
+        row_end = (jnp.clip(pos, 0, nbits - 1) // _R + 1) * _R
+        pos = jnp.where(active & (nxt < row_end), nxt, sink)
+        return mk, pos
 
-    step = jnp.where(committed, outlen, 0)
-    out_off = jnp.cumsum(step) - step
-    return {
-        "is_lit": is_lit & committed,
-        "is_match": is_len & committed,
-        "lit": sym,
-        "mdist": mdist,
-        "out_off": out_off,
-        "committed": committed,
-    }
+    mark, _ = jax.lax.fori_loop(0, _R, p3, (mark, row_entry))
+    return mark[:nbits] == 1
 
 
-def _make_batch_decoder(max_bits: int, n_slots: int):
-    """Jitted: decode a batch of chunks and scatter their tokens into the
-    global (n_slots,) assembly arrays (litval, start_mark, dist_at). The
-    last slot is the drop sink; everything stays on device."""
+@functools.partial(
+    jax.jit,
+    static_argnames=("nbits", "n_out_pad", "max_sup_span", "n_stored"),
+)
+def _decode_all(
+    words, ll_first, ll_cnt, ll_off, ll_sym, d_first, d_cnt, d_off, d_sym,
+    start_bits, out_bases, unit_valid, total_out, stored_idx, stored_val,
+    nbits, n_out_pad, max_sup_span, n_stored,
+):
+    """One fused device graph: LUT build -> per-bit decode -> commit ->
+    token scatter -> LZ resolve -> bytes + CRC-32."""
+    ll_lut = _build_luts(
+        ll_first, ll_cnt, ll_off, ll_sym, jnp.asarray(_ll_attr()),
+        _MAX_LL, 10,
+    )
+    d_lut = _build_luts(
+        d_first, d_cnt, d_off, d_sym, jnp.asarray(_d_attr()), _MAX_D, 5
+    )
 
-    @jax.jit
-    def step(words_b, ll_b, d_b, body_b, base_b, litval, start_mark, dist_at):
-        res = jax.vmap(
-            lambda w, l, d, bb: _decode_core(w, l, d, bb, max_bits)
-        )(words_b, ll_b, d_b, body_b)
-        goff = res["out_off"] + base_b[:, None]
-        com = res["committed"]
-        tgt = jnp.where(com, goff, n_slots - 1).reshape(-1)
-        litval = litval.at[tgt].max(
-            jnp.where(res["is_lit"], res["lit"], 0).reshape(-1), mode="drop"
+    win_lo, win_hi = _bit_windows(words)
+
+    # Per-bit owning block: scatter block ids at their start bits, cummax.
+    u = start_bits.shape[0]
+    uid0 = jnp.zeros((nbits,), jnp.int32).at[
+        jnp.where(unit_valid, start_bits, nbits)
+    ].max(jnp.arange(u, dtype=jnp.int32), mode="drop")
+    uid = jax.lax.associative_scan(jnp.maximum, uid0)
+
+    step, outlen, sym, mdist, islit, islen = _decode_bits(
+        win_lo, win_hi, uid, ll_lut, d_lut
+    )
+
+    committed = _commit_walk(step, start_bits, unit_valid, max_sup_span)
+
+    # Per-block output offsets: global cumsum minus the block's prefix.
+    lens = jnp.where(committed, outlen, 0)
+    g = jnp.cumsum(lens)
+    sb = jnp.clip(start_bits, 0, nbits - 1)
+    cum0 = g[sb] - lens[sb]
+    off = out_bases[uid] + (g - lens) - cum0[uid]
+
+    com_tok = committed & (islit | islen)
+    tgt = jnp.where(com_tok, off, n_out_pad)
+    litval = jnp.zeros((n_out_pad,), jnp.int32)
+    start_mark = jnp.full((n_out_pad,), -1, jnp.int32)
+    dist_at = jnp.zeros((n_out_pad,), jnp.int32)
+    if n_stored:
+        litval = litval.at[stored_idx].max(
+            stored_val.astype(jnp.int32), mode="drop"
         )
-        start_mark = start_mark.at[tgt].max(
-            jnp.where(com, goff, -1).reshape(-1), mode="drop"
+        start_mark = start_mark.at[stored_idx].max(
+            stored_idx.astype(jnp.int32), mode="drop"
         )
-        dist_at = dist_at.at[tgt].max(
-            jnp.where(res["is_match"], res["mdist"], 0).reshape(-1),
-            mode="drop",
-        )
-        return litval, start_mark, dist_at
+    litval = litval.at[tgt].max(
+        jnp.where(islit, sym, 0), mode="drop"
+    )
+    start_mark = start_mark.at[tgt].max(
+        jnp.where(com_tok, off, -1), mode="drop"
+    )
+    dist_at = dist_at.at[tgt].max(
+        jnp.where(islen, mdist, 0), mode="drop"
+    )
 
-    return step
+    # LZ resolve: covering token via segmented cummax, then pointer
+    # doubling over parent = i - dist with a convergence test (typical
+    # chains are shallow; all-zeros worst case still converges in
+    # log2(n) rounds).
+    idx = jnp.arange(n_out_pad, dtype=jnp.int32)
+    seg = jax.lax.associative_scan(jnp.maximum, start_mark)
+    dist = dist_at[jnp.clip(seg, 0, n_out_pad - 1)]
+    parent = jnp.where((dist > 0) & (seg >= 0), idx - dist, idx)
+    parent = jnp.clip(parent, 0, n_out_pad - 1)
+
+    def cond(state):
+        parent, changed, r = state
+        return changed & (r < 40)
+
+    def body(state):
+        parent, _, r = state
+        p2 = parent[parent]
+        return p2, jnp.any(p2 != parent), r + 1
+
+    parent, _, _ = jax.lax.while_loop(
+        cond, body, (parent, jnp.bool_(True), jnp.int32(0))
+    )
+    out = litval[parent].astype(jnp.uint8)
+
+    from zzflate_tpu.ops import checksums as cs
+
+    crc = cs._crc32_impl(out, total_out, jnp.int32(0))
+    return out, crc
 
 
-def _make_resolver(n_slots: int):
-    """Jitted: segmented-cummax covering-token lookup + pointer doubling
-    over parent = idx - dist to literal roots."""
-    n_out = n_slots - 1
-
-    @jax.jit
-    def resolve(litval, start_mark, dist_at):
-        idx = jnp.arange(n_out, dtype=jnp.int32)
-        seg_start = jax.lax.associative_scan(jnp.maximum, start_mark[:n_out])
-        dist = dist_at[jnp.clip(seg_start, 0, n_out - 1)]
-        parent = jnp.where((dist > 0) & (seg_start >= 0), idx - dist, idx)
-        parent = jnp.clip(parent, 0, n_out - 1)
-        for _ in range(max(1, n_out.bit_length())):
-            parent = parent[parent]
-        return litval[:n_out][parent].astype(jnp.uint8)
-
-    return resolve
-
-
-_JIT_CACHE: dict = {}
-
-
-def _cached(factory, *key):
-    k = (factory.__name__,) + key
-    if k not in _JIT_CACHE:
-        _JIT_CACHE[k] = factory(*key)
-    return _JIT_CACHE[k]
+def _pow2(n: int) -> int:
+    return 1 << max(0, (n - 1)).bit_length()
 
 
 # ---------------------------------------------------------------------------
 # Public entry.
 # ---------------------------------------------------------------------------
 
-_BATCH = 8
 
-
-def decompress_indexed(data: bytes, verify: bool = True) -> bytes | None:
+def decompress_indexed(
+    data: bytes, verify: bool = True, to_device: bool = False
+):
     """Chunk-parallel decode of an indexed gzip stream on device.
 
-    Returns None if the stream carries no 'ZZ' index (caller falls back).
-    All heavy work — per-bit speculative decode, token-boundary doubling,
-    global LZ resolution — runs on device; the host only parses headers,
-    builds LUTs, and fetches the final byte array once.
+    Returns None if the stream carries no 'ZZ' index (caller falls
+    back). With to_device=True, returns (jax.Array of uint8, length):
+    the decoded bytes stay on device (data-loading path); CRC is still
+    verified on device when verify=True.
     """
     parsed = containers.parse_gzip_index(data)
     if parsed is None:
@@ -310,93 +542,107 @@ def decompress_indexed(data: bytes, verify: bool = True) -> bytes | None:
         for bit_off, out_off in blocks:
             if bit_off >= 8 * max(sz, 1) or out_off > chunk_bytes:
                 raise ValueError("ZZ index: block offsets out of range")
+
+    if total_out > (1 << 28) or member_len - header_len - 8 > (1 << 28):
+        return None  # whole-stream device decode cap; native fallback
+
     out_sizes = [
         min(chunk_bytes, max(0, total_out - i * chunk_bytes))
         for i in range(nchunks)
     ]
     out_starts = [i * chunk_bytes for i in range(nchunks)]
+    body = data[header_len : member_len - 8]
 
-    n_out = max(1, total_out)
-    n_slots = n_out + 1
-    litval = np.zeros(n_slots, np.int32)
-    start_init = np.full(n_slots, -1, np.int32)
-    dist_init = np.zeros(n_slots, np.int32)
-
-    # Host: split segments; per BLOCK (the index carries every block's bit
-    # offset + output offset) parse the header and build LUTs. Stored
-    # fallback segments are detected from BTYPE and prefilled directly.
-    pos = header_len
-    units = []  # (seg_index, plan, global_out_base)
-    segs = []
     try:
-        for i, (sz, blocks) in enumerate(chunks):
-            seg = data[pos : pos + sz]
-            pos += sz
-            segs.append(seg)
-            br = BitReader(seg, 0)
-            br.bits(1)
-            if br.bits(2) == 0:
-                plan = _plan_stored(seg, out_sizes[i])
-                litval[out_starts[i] : out_starts[i] + len(plan.raw)] = (
-                    np.frombuffer(plan.raw, np.uint8)
-                )
-                # dist=0 breaker so a previous chunk's match segment cannot
-                # bleed into this chunk's bytes in the resolver.
-                start_init[out_starts[i]] = out_starts[i]
-                continue
-            for bit_off, out_off in blocks:
-                units.append(
-                    (i, _plan_block(seg, bit_off), out_starts[i] + out_off)
-                )
+        units, stored_idx, stored_val = _plan_units(
+            body, chunks, out_starts, out_sizes, header_len
+        )
     except (IndexError, struct.error) as e:
-        # Host header/LUT parsing ran off the segment: the index lied.
+        # Host header parsing ran off the segment: the index lied.
         raise ValueError(f"corrupt indexed segment: {e}") from e
 
-    lv = jnp.asarray(litval)
-    sm = jnp.asarray(start_init)
-    da = jnp.asarray(dist_init)
+    n_out_pad = _pow2(max(1, total_out))
+    nbits = max(_RR, _pow2(len(body) * 8 + 16))
+    u_pad = _pow2(max(1, len(units)))
+    max_seg_bits = max((sz * 8 for sz, _ in chunks), default=1)
+    max_sup_span = min(nbits // _RR, max_seg_bits // _RR + 2)
 
-    if units:
-        max_bits = (chunk_bytes + 64) * 8
-        w32 = (max(sz for sz, _ in chunks) + 11) // 4 + 2
-        w32 = max(w32, (chunk_bytes + 80) // 4)  # stable shape per config
-        stepf = _cached(_make_batch_decoder, max_bits, n_slots)
-        for b0 in range(0, len(units), _BATCH):
-            # Padded rows keep an all-zero LUT: every position decodes as
-            # invalid, so they commit nothing.
-            group = units[b0 : b0 + _BATCH]
-            words_b = np.zeros((_BATCH, w32), "<u4")
-            ll_b = np.zeros((_BATCH, 1 << _LUT_BITS), np.uint32)
-            d_b = np.zeros((_BATCH, 1 << _LUT_BITS), np.uint32)
-            body_b = np.zeros(_BATCH, np.int32)
-            base_b = np.full(_BATCH, n_out, np.int32)
-            for j, (i, plan, out_base) in enumerate(group):
-                seg = segs[i]
-                wpad = seg + b"\x00" * (w32 * 4 - len(seg))
-                words_b[j] = np.frombuffer(wpad, "<u4")
-                ll_b[j] = plan.ll_lut
-                d_b[j] = plan.d_lut
-                body_b[j] = plan.body_bit
-                base_b[j] = out_base
-            lv, sm, da = stepf(
-                jnp.asarray(words_b),
-                jnp.asarray(ll_b),
-                jnp.asarray(d_b),
-                jnp.asarray(body_b),
-                jnp.asarray(base_b),
-                lv, sm, da,
-            )
+    # Staging (host, numpy): tiny per-block descriptors only.
+    nw = nbits // 32 + 2
+    wbytes = body + b"\x00" * (nw * 4 - len(body))
+    words = np.frombuffer(wbytes[: nw * 4], "<u4")
+    ll_first = np.zeros((u_pad, 16), np.int32)
+    ll_cnt = np.zeros((u_pad, 16), np.int32)
+    ll_offs = np.zeros((u_pad, 16), np.int32)
+    ll_sym = np.zeros((u_pad, _MAX_LL), np.int32)
+    d_first = np.zeros((u_pad, 16), np.int32)
+    d_cnt = np.zeros((u_pad, 16), np.int32)
+    d_offs = np.zeros((u_pad, 16), np.int32)
+    d_sym = np.zeros((u_pad, _MAX_D), np.int32)
+    start_bits = np.zeros(u_pad, np.int32)
+    out_bases = np.zeros(u_pad, np.int32)
+    unit_valid = np.zeros(u_pad, bool)
+    for j, un in enumerate(units):
+        ll_first[j], ll_cnt[j], ll_offs[j], ll_sym[j] = un.ll
+        d_first[j], d_cnt[j], d_offs[j], d_sym[j] = un.d
+        start_bits[j] = un.bit
+        out_bases[j] = un.out_base
+        unit_valid[j] = True
 
-    resolver = _cached(_make_resolver, n_slots)
-    out = np.asarray(resolver(lv, sm, da))[:total_out].tobytes()
+    n_stored = 0
+    if stored_idx:
+        si = np.concatenate(stored_idx)
+        sv = np.concatenate(stored_val)
+        n_stored = _pow2(len(si))
+        si = np.pad(si, (0, n_stored - len(si)), constant_values=n_out_pad)
+        sv = np.pad(sv, (0, n_stored - len(sv)))
+        si = si.astype(np.int32)
+    else:
+        si = np.zeros(1, np.int32)
+        sv = np.zeros(1, np.uint8)
+
+    out_dev, crc_dev = _decode_all(
+        jnp.asarray(words), jnp.asarray(ll_first), jnp.asarray(ll_cnt),
+        jnp.asarray(ll_offs), jnp.asarray(ll_sym), jnp.asarray(d_first),
+        jnp.asarray(d_cnt), jnp.asarray(d_offs), jnp.asarray(d_sym),
+        jnp.asarray(start_bits), jnp.asarray(out_bases),
+        jnp.asarray(unit_valid), jnp.asarray(total_out, jnp.int32),
+        jnp.asarray(si), jnp.asarray(sv),
+        nbits=nbits, n_out_pad=n_out_pad, max_sup_span=max_sup_span,
+        n_stored=n_stored,
+    )
 
     if verify:
-        if _zlib.crc32(out) != crc_expect:
+        if int(np.asarray(crc_dev)) != crc_expect:
             raise ValueError("crc32 mismatch (TPU inflate)")
-        if (len(out) & 0xFFFFFFFF) != (isize & 0xFFFFFFFF):
-            raise ValueError("isize mismatch (TPU inflate)")
+
+    if to_device:
+        if tail:
+            raise ValueError("to_device unsupported for multi-member gzip")
+        return out_dev[:total_out], total_out
+
+    out = _fetch_bytes(out_dev, total_out)
+    if verify and (len(out) & 0xFFFFFFFF) != (isize & 0xFFFFFFFF):
+        raise ValueError("isize mismatch (TPU inflate)")
     if tail:
         from zzflate_tpu.models import inflate
 
         out += inflate.decompress(tail, format="gzip")
     return out
+
+
+_FETCH_SLICE = 2 << 20
+
+
+def _fetch_bytes(out_dev: jax.Array, total_out: int) -> bytes:
+    """Device->host in bounded slices (large one-shot fetches are
+    pathological on the tunneled platform; see BASELINE.md)."""
+    if total_out == 0:
+        return b""
+    if total_out <= _FETCH_SLICE:
+        return np.asarray(out_dev[:total_out]).tobytes()
+    parts = []
+    for a in range(0, total_out, _FETCH_SLICE):
+        b = min(a + _FETCH_SLICE, total_out)
+        parts.append(np.asarray(out_dev[a:b]).tobytes())
+    return b"".join(parts)
