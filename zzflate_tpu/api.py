@@ -103,11 +103,8 @@ def _encode_segments(
     from zzflate_tpu.ops import huffman_host
     from zzflate_tpu.utils.profiling import maybe_stage
 
-    with maybe_stage("build_batches"):
-        buf, valid_ends, window_starts, bfinals, nchunks = _build_chunk_batch(
-            data, chunk_bytes, dictionary, mark_final=stream_final
-        )
-    starts = np.full((nchunks,), _WINDOW, dtype=np.int32)
+    n = len(data)
+    nchunks = max(1, -(-n // chunk_bytes))
 
     bsz = _device_batch(chunk_bytes)
     sharding = None
@@ -117,49 +114,55 @@ def _encode_segments(
         ndev = mesh.devices.size
         bsz = ndev * max(1, bsz)
         sharding = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
-
-    batch_slices = []
-    device_batches = []
-    for b0 in range(0, nchunks, bsz):
-        b1 = min(b0 + bsz, nchunks)
-        pad = bsz - (b1 - b0)
-        # Pad the tail batch to the fixed batch size (one compiled graph);
-        # padded rows encode an empty block that the stitcher ignores.
-        def pick(a, fill=0):
-            s = a[b0:b1]
-            if pad:
-                s = np.concatenate(
-                    [s, np.full((pad,) + s.shape[1:], fill, s.dtype)]
-                )
-            if sharding is not None:
-                return jax.device_put(jnp.asarray(s), sharding)
-            return jnp.asarray(s)
-
-        db = (
-            pick(buf),
-            pick(starts, _WINDOW),
-            pick(valid_ends, _WINDOW),
-            pick(window_starts, _WINDOW),
-        )
-        batch_slices.append((b0, b1))
-        device_batches.append(db)
-
-    # Phase 1: dispatch all analyze batches, then fetch the (tiny) freqs.
     max_dist = min(32768, 1 << config.window_bits)
-    with maybe_stage("analyze_dispatch"):
-        analyzed = [
-            deflate_encoder.analyze_chunks_batch(
+
+    def dispatch_analyze(b0: int):
+        """Stage host rows for chunks [b0, b0+bsz) and queue analysis."""
+        b1 = min(b0 + bsz, nchunks)
+        with maybe_stage("build_batches"):
+            buf, valid_ends, window_starts, bfinals, _ = _build_chunk_batch(
+                data[b0 * chunk_bytes : b1 * chunk_bytes], chunk_bytes,
+                dictionary if b0 == 0
+                else data[max(0, b0 * chunk_bytes - _WINDOW) : b0 * chunk_bytes],
+                mark_final=stream_final and b1 == nchunks,
+            )
+            pad = bsz - (b1 - b0)
+            if pad:
+                # Pad the tail batch to the fixed batch size (one compiled
+                # graph); padded rows encode an empty block the stitcher
+                # ignores.
+                buf = np.concatenate(
+                    [buf, np.zeros((pad,) + buf.shape[1:], buf.dtype)]
+                )
+                valid_ends = np.concatenate(
+                    [valid_ends, np.full((pad,), _WINDOW, np.int32)]
+                )
+                window_starts = np.concatenate(
+                    [window_starts, np.full((pad,), _WINDOW, np.int32)]
+                )
+            starts = np.full((bsz,), _WINDOW, dtype=np.int32)
+
+            def pick(a):
+                if sharding is not None:
+                    return jax.device_put(jnp.asarray(a), sharding)
+                return jnp.asarray(a)
+
+            db = (pick(buf), pick(starts), pick(valid_ends),
+                  pick(window_starts))
+        with maybe_stage("analyze_dispatch"):
+            ana = deflate_encoder.analyze_chunks_batch(
                 *db, params, huffman_only=huffman_only,
                 with_checksums=with_checksums,
                 strategy=config.strategy, max_dist=max_dist,
             )
-            for db in device_batches
-        ]
-    # Phase 2: host table build per chunk AND sub-block, then dispatch all
-    # emit batches. BFINAL goes on the final chunk's LAST sub-block only.
-    emitted = []
-    batch_plans = []
-    for (b0, b1), db, ana in zip(batch_slices, device_batches, analyzed):
+        return (b0, b1), bfinals, ana
+
+    def plan_and_emit(sl, bfinals, ana):
+        """Fetch tiny freqs, build tables on host, queue the emit graph.
+
+        Drops every big per-position analysis array afterwards so device
+        memory stays bounded by the pipeline window, not the input."""
+        b0, b1 = sl
         with maybe_stage("analyze_fetch_freqs"):
             freq_ll = np.asarray(ana["freq_ll"])  # (bsz, SB, 288)
             freq_d = np.asarray(ana["freq_d"])
@@ -168,13 +171,12 @@ def _encode_segments(
                 huffman_host.build_chunk_plan(
                     freq_ll[j],
                     freq_d[j],
-                    bfinal=int(bfinals[b0 + j]) if b0 + j < nchunks else 0,
+                    bfinal=int(bfinals[j]) if b0 + j < b1 else 0,
                     fixed_only=fixed_only,
                     force_single=single_block_chunks,
                 )
                 for j in range(bsz)
             ]
-        batch_plans.append(plans)
 
         def stack(key, dtype):
             arr = jnp.asarray(
@@ -203,16 +205,18 @@ def _encode_segments(
                 stack("eob_v", np.uint32),
                 stack("eob_nb", np.int32),
             )
-        emitted.append(res)
+        cks = (
+            (ana["adler"], ana["crc"]) if with_checksums else None
+        )
+        return sl, plans, res, cks
 
     segments: list[bytes] = []
     blocks: list[list[tuple[int, int]]] = []
     adlers: list[int] | None = [] if with_checksums else None
     crcs: list[int] | None = [] if with_checksums else None
-    bounds = deflate_encoder.sub_block_bounds(_WINDOW + chunk_bytes)
-    for (b0, b1), res, ana, plans in zip(
-        batch_slices, emitted, analyzed, batch_plans
-    ):
+
+    def finish(sl, plans, res, cks):
+        b0, b1 = sl
         # Fetch the bit counts first, then only the used prefix of the
         # word buffers (device->host bandwidth is the scarce resource;
         # the padded buffers are ~2.5x the compressed size).
@@ -225,8 +229,8 @@ def _encode_segments(
             )
             words_np = np.asarray(res["words"][:, :max_used], dtype="<u4")
         if with_checksums:
-            adlers.extend(int(x) for x in np.asarray(ana["adler"])[: b1 - b0])
-            crcs.extend(int(x) for x in np.asarray(ana["crc"])[: b1 - b0])
+            adlers.extend(int(x) for x in np.asarray(cks[0])[: b1 - b0])
+            crcs.extend(int(x) for x in np.asarray(cks[1])[: b1 - b0])
         for j in range(b1 - b0):
             i = b0 + j
             nbits = int(nbits_np[j])
@@ -252,6 +256,28 @@ def _encode_segments(
                 (int(sb_bits_np[j][g[0]]), int(sb_out_np[j][g[0]]))
                 for g in plans[j]["groups"]
             ])
+
+    # Windowed two-stage pipeline: analysis for batch i+1 is in flight on
+    # device while batch i's tables are built and its emit graph queued,
+    # and while batch i-1's output words are fetched. Peak device memory
+    # is a constant number of batches regardless of input size
+    # (BASELINE.json:11 GB-scale requirement); dropping the `ana` dict
+    # after emit dispatch releases the ~24 B/position analysis arrays.
+    import collections
+
+    a_q: collections.deque = collections.deque()
+    e_q: collections.deque = collections.deque()
+    for b0 in range(0, nchunks, bsz):
+        a_q.append(dispatch_analyze(b0))
+        if len(a_q) >= 2:
+            e_q.append(plan_and_emit(*a_q.popleft()))
+        if len(e_q) >= 2:
+            finish(*e_q.popleft())
+    while a_q:
+        e_q.append(plan_and_emit(*a_q.popleft()))
+    while e_q:
+        finish(*e_q.popleft())
+
     return {
         "segments": segments, "blocks": blocks,
         "adler": adlers, "crc": crcs,

@@ -207,6 +207,12 @@ def find_matches(
     n = data.shape[0]
     pos = jnp.arange(n, dtype=jnp.int32)
     key_bytes = 4 * key_words
+    # The extension ladder below strides by key_bytes blocks and refines
+    # through rank arrays at 16/32/../key_bytes granularity; that chain is
+    # only exact when key_bytes is 16 * 2^k (rank_levels[-1] must sit at
+    # the FULL key depth). Reject configs that would silently mis-extend.
+    if key_bytes >= 16 and (key_bytes & (key_bytes - 1) or key_bytes < 16):
+        raise ValueError(f"key_words*4 must be 16*2^k, got {key_bytes}")
     w = _pack_words(data, key_words)
     srank = jnp.arange(n, dtype=jnp.int32)
 
