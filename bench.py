@@ -58,6 +58,55 @@ def build_corpus(target: int = TARGET_BYTES) -> bytes:
     return data
 
 
+def full_ratio_table(target_mib: int = 100) -> None:
+    """--full: per-level ratio table on the Silesia-like fixture
+    (ours vs zlib vs libdeflate); results recorded in BASELINE.md."""
+    import ctypes
+
+    import zzflate_tpu as zf
+    from zzflate_tpu.utils import fixtures
+
+    data = fixtures.silesia_like(target_mib << 20)
+    mb = len(data) / 1e6
+
+    libd = None
+    try:
+        libd = ctypes.CDLL("libdeflate.so.0")
+        libd.libdeflate_alloc_compressor.restype = ctypes.c_void_p
+        libd.libdeflate_zlib_compress.restype = ctypes.c_size_t
+    except OSError:
+        pass
+
+    def libdeflate_size(level: int) -> int | None:
+        if libd is None:
+            return None
+        comp = libd.libdeflate_alloc_compressor(ctypes.c_int(level))
+        bound = len(data) + len(data) // 2 + 1024
+        buf = ctypes.create_string_buffer(bound)
+        n = libd.libdeflate_zlib_compress(
+            ctypes.c_void_p(comp), data, ctypes.c_size_t(len(data)),
+            buf, ctypes.c_size_t(bound),
+        )
+        libd.libdeflate_free_compressor(ctypes.c_void_p(comp))
+        return int(n) or None
+
+    print(f"fixture={len(data)}B ({mb:.0f} MB)", file=sys.stderr)
+    print("level  ours_B  zlib_B  libdeflate_B  rel_zlib  enc_MBps")
+    for level in (1, 6, 9):
+        t0 = time.perf_counter()
+        ours = zf.compress(
+            data, level=level, format="zlib", chunk_bytes=CHUNK_BYTES
+        )
+        dt = time.perf_counter() - t0
+        zsize = len(zlib.compress(data, level))
+        assert zlib.decompress(ours) == data, "round-trip failed"
+        lsize = libdeflate_size(level)
+        print(
+            f"{level}  {len(ours)}  {zsize}  {lsize}  "
+            f"{len(ours)/zsize:.4f}  {mb/dt:.2f}"
+        )
+
+
 def main() -> None:
     import os
 
@@ -141,4 +190,11 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--full" in sys.argv:
+        mib = 100
+        for a in sys.argv[1:]:
+            if a.startswith("--mib="):
+                mib = int(a.split("=")[1])
+        full_ratio_table(mib)
+    else:
+        main()
