@@ -410,7 +410,8 @@ def _decode_all(
     nbits, n_out_pad, max_sup_span, n_stored,
 ):
     """One fused device graph: LUT build -> per-bit decode -> commit ->
-    token scatter -> LZ resolve -> bytes + CRC-32."""
+    token scatter -> LZ resolve -> bytes (CRC-32 runs as a separate
+    dispatch; see decompress_indexed)."""
     ll_lut = _build_luts(
         ll_first, ll_cnt, ll_off, ll_sym, jnp.asarray(_ll_attr()),
         _MAX_LL, 10,
@@ -485,12 +486,7 @@ def _decode_all(
     parent, _, _ = jax.lax.while_loop(
         cond, body, (parent, jnp.bool_(True), jnp.int32(0))
     )
-    out = litval[parent].astype(jnp.uint8)
-
-    from zzflate_tpu.ops import checksums as cs
-
-    crc = cs._crc32_impl(out, total_out, jnp.int32(0))
-    return out, crc
+    return litval[parent].astype(jnp.uint8)
 
 
 def _pow2(n: int) -> int:
@@ -601,7 +597,7 @@ def decompress_indexed(
         si = np.zeros(1, np.int32)
         sv = np.zeros(1, np.uint8)
 
-    out_dev, crc_dev = _decode_all(
+    out_dev = _decode_all(
         jnp.asarray(words), jnp.asarray(ll_first), jnp.asarray(ll_cnt),
         jnp.asarray(ll_offs), jnp.asarray(ll_sym), jnp.asarray(d_first),
         jnp.asarray(d_cnt), jnp.asarray(d_offs), jnp.asarray(d_sym),
@@ -613,6 +609,14 @@ def decompress_indexed(
     )
 
     if verify:
+        # Device-side CRC as its own dispatch (fusing the ~log n
+        # tree-combine unroll into the decode graph overloads the
+        # platform's compile helper at large sizes).
+        from zzflate_tpu.ops import checksums as cs
+
+        crc_dev = cs._crc32_impl(
+            out_dev, jnp.asarray(total_out, jnp.int32), jnp.int32(0)
+        )
         if int(np.asarray(crc_dev)) != crc_expect:
             raise ValueError("crc32 mismatch (TPU inflate)")
 
