@@ -49,23 +49,29 @@ _TOO_FAR = 4096  # reject len-3 matches farther than this (zlib heuristic)
 
 
 def _pack_words(data: jax.Array, nwords: int) -> list[jax.Array]:
-    """w[j][i] = BIG-endian u32 of bytes data[i+4j : i+4j+4] (rolls).
+    """w[j][i] = BIG-endian u32 of bytes data[i+4j : i+4j+4].
 
     Big-endian (byte 0 in the high bits) so that unsigned u32 comparison
     equals byte-lexicographic order — the sorted orders below are then true
-    lexicographic suffix orders, maximizing neighbor candidate quality."""
-    d = data.astype(jnp.uint32)
-    b = [jnp.roll(d, -s) for s in range(4 * nwords)]
+    lexicographic suffix orders, maximizing neighbor candidate quality.
+
+    Built from ONE shifted-word base: pad data once, make the u32-at-
+    every-byte array with 4 static slices, then every deeper word is a
+    static slice of that base. (The previous 4*nwords-roll formulation
+    was one of the three dominant matcher costs on the chip — ~200 ms
+    per 2 MiB batch; slices of a single padded base fuse to ~nothing.)"""
     n = data.shape[0]
-    idx = jnp.arange(n)
-    # Zero out wrapped tail bytes so keys beyond the buffer are stable.
-    b = [jnp.where(idx < n - s, v, 0) for s, v in enumerate(b)]
+    pad = jnp.zeros((4 * nwords + 4,), data.dtype)
+    d = jnp.concatenate([data, pad]).astype(jnp.uint32)
+    m = n + 4 * nwords
+    base = (
+        (jax.lax.slice(d, (0,), (m,)) << 24)
+        | (jax.lax.slice(d, (1,), (m + 1,)) << 16)
+        | (jax.lax.slice(d, (2,), (m + 2,)) << 8)
+        | jax.lax.slice(d, (3,), (m + 3,))
+    )
     return [
-        (b[4 * j] << 24)
-        | (b[4 * j + 1] << 16)
-        | (b[4 * j + 2] << 8)
-        | b[4 * j + 3]
-        for j in range(nwords)
+        jax.lax.slice(base, (4 * j,), (4 * j + n,)) for j in range(nwords)
     ]
 
 
@@ -228,15 +234,19 @@ def find_matches(
     # cross-group candidates are covered by order B's forward scan.
     # The first min(key_words, 4) key words ride along so adjacent LCPs
     # are byte-exact to 16 bytes inside equal-w0 groups.
-    a_words = min(key_words, 4)
-    sortedA = jax.lax.sort(
-        tuple(w[:a_words]) + (pos,), num_keys=1, is_stable=True
-    )
-    best_len, best_dist, _ = _scan_order(
-        list(sortedA[:a_words]), sortedA[a_words], srank, window_start,
-        best_len, best_dist, min(candidates, 8), 4 * a_words, n,
-        backward_only=True,
-    )
+    # (ZZFLATE_NO_ORDER_A=1 skips this sort: a measured-ratio/speed probe —
+    # on the target chip each sort costs ~190 ms per 2 MiB regardless of
+    # operand count, so sort COUNT is the matcher's cost knob.)
+    if os.environ.get("ZZFLATE_NO_ORDER_A") != "1":
+        a_words = min(key_words, 4)
+        sortedA = jax.lax.sort(
+            tuple(w[:a_words]) + (pos,), num_keys=1, is_stable=True
+        )
+        best_len, best_dist, _ = _scan_order(
+            list(sortedA[:a_words]), sortedA[a_words], srank, window_start,
+            best_len, best_dist, min(candidates, 8), 4 * a_words, n,
+            backward_only=True,
+        )
 
     # Order B — the full-depth suffix order: neighbors are the suffixes
     # with the LONGEST common prefixes (what a deep chain walk searches
