@@ -202,3 +202,76 @@ def test_decompressor_linear_time_large_stream():
     assert bytes(out) == data
     assert d.eof
     assert dt < 30.0, f"incremental decode took {dt:.1f}s — quadratic?"
+
+
+def test_z_block_flush_stops_mid_byte_and_stream_stays_valid():
+    # Z_BLOCK (zlib.h:170-173): emit up to the current block boundary with
+    # no empty stored block and no byte alignment; later output joins at
+    # bit granularity and the final stream zlib-decodes bit-exactly.
+    c = zs.Compressor(level=6, format="zlib", chunk_bytes=CHUNK)
+    p1 = b"the first span of text, quite compressible " * 120
+    p2 = b"and a second span arriving much later " * 150
+    out = c.compress(p1) + c.flush(zs.Z_BLOCK)
+    assert c._tail_n or out  # block boundary generally lands mid-byte
+    tail_seen = c._tail_n
+    out += c.compress(p2) + c.flush(zs.Z_FINISH)
+    assert zlib.decompress(out) == p1 + p2
+    assert tail_seen != 0  # the mid-byte state actually occurred
+
+
+def test_z_block_then_sync_flush_realigns():
+    c = zs.Compressor(level=6, format="zlib", chunk_bytes=CHUNK)
+    p1 = b"alpha beta gamma delta " * 100
+    out = c.compress(p1) + c.flush(zs.Z_BLOCK)
+    out += c.flush(zs.Z_SYNC_FLUSH)  # realigns with an empty stored block
+    assert c._tail_n == 0
+    d = zlib.decompressobj()
+    assert d.decompress(out) == p1
+    p2 = b"epsilon zeta " * 90
+    out2 = c.compress(p2) + c.flush(zs.Z_FINISH)
+    assert d.decompress(out2) == p2
+
+
+def test_z_block_repeated_and_chunk_crossing():
+    # Multiple Z_BLOCK epochs, including a full chunk arriving mid-byte
+    # (exercises the raw re-encode + realign path in compress()).
+    c = zs.Compressor(level=6, format="gzip", chunk_bytes=CHUNK)
+    parts = [
+        b"x" * 100,
+        b"piece two " * 700,          # > chunk_bytes while mid-byte
+        b"three",
+        b"four " * 1000,
+    ]
+    out = bytearray()
+    for p in parts:
+        out += c.compress(p)
+        out += c.flush(zs.Z_BLOCK)
+    out += c.flush(zs.Z_FINISH)
+    import gzip as _gz
+
+    assert _gz.decompress(bytes(out)) == b"".join(parts)
+
+
+def test_z_block_level0_realigns_to_stored():
+    c = zs.Compressor(level=0, format="zlib", chunk_bytes=CHUNK)
+    p = b"stored bytes " * 50
+    out = c.compress(p) + c.flush(zs.Z_BLOCK) + c.flush(zs.Z_FINISH)
+    assert zlib.decompress(out) == p
+
+
+def test_mem_level_roundtrip_and_validation():
+    import pytest
+
+    import zzflate_tpu as zf
+
+    data = open("/usr/include/zlib.h", "rb").read()[:200000]
+    for ml in (1, 8, 9):
+        blob = zf.compress(data, level=6, mem_level=ml, chunk_bytes=65536)
+        assert zlib.decompress(blob) == data
+    c = zs.Compressor(level=6, mem_level=1, chunk_bytes=CHUNK)
+    blob = c.compress(data[:20000]) + c.flush(zs.Z_FINISH)
+    assert zlib.decompress(blob) == data[:20000]
+    with pytest.raises(ValueError):
+        zf.compress(b"x", mem_level=0)
+    with pytest.raises(ValueError):
+        zf.compress(b"x", mem_level=10)

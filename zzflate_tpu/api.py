@@ -64,12 +64,16 @@ def _build_chunk_batch(
     return buf, valid_ends, window_starts, bfinals, nchunks
 
 
-def _device_batch(chunk_bytes: int) -> int:
+def _device_batch(chunk_bytes: int, mem_level: int = 8) -> int:
     """Chunks dispatched per device call, sized to bound peak HBM.
 
-    ~2 MiB of chunk data per dispatch: the suffix-sort matcher holds
-    ~15 int32 arrays per position (~70 MiB/MiB-of-input transient)."""
-    return max(1, min(16, (2 << 20) // chunk_bytes))
+    ~2 MiB of chunk data per dispatch at the default mem_level=8: the
+    suffix-sort matcher holds ~15 int32 arrays per position (~70 MiB per
+    MiB-of-input transient). mem_level (zlib.h:581-585 contract) scales
+    the budget: each level below 8 halves it, 9 doubles it."""
+    shift = mem_level - 8
+    budget = (2 << 20) << shift if shift >= 0 else (2 << 20) >> -shift
+    return max(1, min(16, budget // chunk_bytes))
 
 
 def _encode_segments(
@@ -80,8 +84,14 @@ def _encode_segments(
     mesh=None,
     with_checksums: bool = False,
     single_block_chunks: bool = False,
+    frame: bool = True,
 ) -> dict:
     """Deflate payload as byte-aligned per-chunk segments (sync-flush framed).
+
+    frame=False returns UNFRAMED segments as (bytes, nbits) tuples — no
+    sync-flush marker, no stored fallback, the last byte possibly partial
+    — for callers that join segments at bit granularity (the stream
+    layer's Z_BLOCK support).
 
     Two-phase pipeline: device analyze (histograms) for every batch, host
     Huffman/header build, device emit (re-tokenize + bit-pack), host stitch
@@ -106,7 +116,7 @@ def _encode_segments(
     n = len(data)
     nchunks = max(1, -(-n // chunk_bytes))
 
-    bsz = _device_batch(chunk_bytes)
+    bsz = _device_batch(chunk_bytes, config.mem_level)
     sharding = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
@@ -235,6 +245,12 @@ def _encode_segments(
             i = b0 + j
             nbits = int(nbits_np[j])
             final = (i == nchunks - 1) and stream_final
+            if not frame:
+                segments.append(
+                    (words_np[j].tobytes()[: (nbits + 7) // 8], nbits)
+                )
+                blocks.append([])
+                continue
             if final:
                 seg = words_np[j].tobytes()[: (nbits + 7) // 8]
             else:
@@ -293,6 +309,7 @@ def compress(
     strategy: int = cfg_mod.STRATEGY_DEFAULT,
     indexed: bool = False,
     window_bits: int = 15,
+    mem_level: int = 8,
 ) -> bytes:
     """One-shot compress to a zlib/gzip/raw stream (decodable by zlib).
 
@@ -305,7 +322,7 @@ def compress(
     data = bytes(data)
     config = CodecConfig(
         level=level, format=format, chunk_bytes=chunk_bytes,
-        strategy=strategy, window_bits=window_bits,
+        strategy=strategy, window_bits=window_bits, mem_level=mem_level,
     )
     if dictionary is not None and format == "gzip":
         raise ValueError("gzip streams cannot carry a preset dictionary")

@@ -58,6 +58,11 @@ class CodecConfig:
     chunk_bytes: int = DEFAULT_CHUNK_BYTES
     window_bits: int = 15
     strategy: int = STRATEGY_DEFAULT
+    # zlib's memLevel (zlib.h:581-585) trades memory for speed via hash
+    # table sizing; the analogue here is the per-dispatch device-memory
+    # budget: each step down from 8 halves the chunk-batch HBM footprint
+    # (api._device_batch), 9 doubles it.
+    mem_level: int = 8
 
     def __post_init__(self):
         if self.level not in range(0, 10):
@@ -68,6 +73,8 @@ class CodecConfig:
             raise ValueError("window_bits must be 8..15")
         if self.chunk_bytes < 1024 or self.chunk_bytes % 1024:
             raise ValueError("chunk_bytes must be a multiple of 1024")
+        if not 1 <= self.mem_level <= 9:
+            raise ValueError("mem_level must be 1..9")
 
     @property
     def params(self) -> LevelParams:

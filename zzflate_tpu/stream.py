@@ -26,6 +26,7 @@ Z_NO_FLUSH = 0
 Z_SYNC_FLUSH = 2
 Z_FULL_FLUSH = 3
 Z_FINISH = 4
+Z_BLOCK = 5
 
 
 class Compressor:
@@ -38,9 +39,11 @@ class Compressor:
         dictionary: bytes | None = None,
         chunk_bytes: int = cfg_mod.DEFAULT_CHUNK_BYTES,
         strategy: int = cfg_mod.STRATEGY_DEFAULT,
+        mem_level: int = 8,
     ):
         self.config = CodecConfig(
-            level=level, format=format, chunk_bytes=chunk_bytes, strategy=strategy
+            level=level, format=format, chunk_bytes=chunk_bytes,
+            strategy=strategy, mem_level=mem_level,
         )
         if dictionary is not None and format == "gzip":
             raise ValueError("gzip streams cannot carry a preset dictionary")
@@ -52,6 +55,11 @@ class Compressor:
         self._isize = 0
         self._adler = _zlib.adler32(b"")
         self._crc = _zlib.crc32(b"")
+        # Sub-byte output state after a Z_BLOCK flush: the stream ends at
+        # a block boundary mid-byte; _tail_n bits (LSB-first, in _tail_v's
+        # low bits) are held back until later output realigns it.
+        self._tail_v = 0
+        self._tail_n = 0
 
     # -- internals ---------------------------------------------------------
 
@@ -88,6 +96,66 @@ class Compressor:
         self._window = (self._window + payload)[-32768:]
         return out
 
+    # -- sub-byte emission (Z_BLOCK epoch) ----------------------------------
+
+    def _emit_bits(self, payload: bytes, nbits: int) -> bytes:
+        """Append nbits (LSB-first in payload's bytes, possibly ending
+        mid-byte) through the sub-byte tail; returns the bytes now whole."""
+        t = self._tail_n
+        if t == 0 and nbits % 8 == 0:
+            return payload
+        import numpy as np
+
+        arr = np.frombuffer(payload, np.uint8).astype(np.uint16)
+        if t:
+            joined = np.empty(len(arr) + 1, np.uint8)
+            joined[0] = self._tail_v
+            joined[1:] = (arr >> (8 - t)).astype(np.uint8)
+            joined[:-1] |= ((arr << t) & 0xFF).astype(np.uint8)
+        else:
+            joined = arr.astype(np.uint8)
+        total = t + nbits
+        nfull = total // 8
+        self._tail_n = total % 8
+        self._tail_v = (
+            int(joined[nfull]) & ((1 << self._tail_n) - 1)
+            if self._tail_n
+            else 0
+        )
+        return joined[:nfull].tobytes()
+
+    def _sync_frame_bits(self) -> bytes:
+        """Empty stored block at the current BIT position: 3-bit header,
+        zero-pad to the byte boundary, then 00 00 FF FF. Realigns the
+        stream (tail becomes 0) — the bit-space equivalent of the
+        SYNC_FLUSH_MARKER append the byte-aligned path uses."""
+        out = self._emit_bits(b"\x00", 3)
+        pad = (8 - self._tail_n) % 8
+        if pad:
+            out += self._emit_bits(b"\x00", pad)
+        return out + containers.SYNC_FLUSH_MARKER
+
+    def _encode_raw(self, payload: bytes, final: bool) -> bytes:
+        """Bit-granular emission: encode payload's chunks UNFRAMED (no
+        sync markers, no byte alignment between blocks — the Z_BLOCK
+        contract, zlib.h:170-173) and join them through the tail."""
+        if self.config.level == 0:
+            # Stored blocks require byte alignment: realign first.
+            out = self._sync_frame_bits() if self._tail_n else b""
+            out += containers.stored_segment(payload, final=final)
+            self._window = (self._window + payload)[-32768:]
+            return out
+        out = bytearray()
+        for seg, nbits in _encode_segments(
+            payload, self.config, self._window or None,
+            stream_final=final, frame=False,
+        )["segments"]:
+            out += self._emit_bits(seg, nbits)
+        if final and self._tail_n:
+            out += self._emit_bits(b"\x00", (8 - self._tail_n) % 8)
+        self._window = (self._window + payload)[-32768:]
+        return bytes(out)
+
     # -- public API ---------------------------------------------------------
 
     def compress(self, data: bytes) -> bytes:
@@ -106,11 +174,14 @@ class Compressor:
         while len(self._buf) >= cb:
             chunk = bytes(self._buf[:cb])
             del self._buf[:cb]
-            seg = self._encode(chunk, final=False)
-            # _encode_segments ends the last block unframed when final=False?
-            # No: final=False framing (sync flush) is handled inside; the
-            # non-final path always sync-flush frames every chunk.
-            out += seg
+            if self._tail_n:
+                # Mid-byte after a Z_BLOCK flush: join this chunk at bit
+                # granularity, then realign with a sync frame so later
+                # chunks ride the byte-aligned fast path again.
+                out += self._encode_raw(chunk, final=False)
+                out += self._sync_frame_bits()
+            else:
+                out += self._encode(chunk, final=False)
         return bytes(out)
 
     def set_params(
@@ -140,7 +211,10 @@ class Compressor:
         pending = bytes(self._buf)
         self._buf.clear()
         if mode == Z_FINISH:
-            out += self._encode(pending, final=True)
+            if self._tail_n:
+                out += self._encode_raw(pending, final=True)
+            else:
+                out += self._encode(pending, final=True)
             fmt = self.config.format
             if fmt == "zlib":
                 out += containers.zlib_trailer(self._adler)
@@ -148,9 +222,21 @@ class Compressor:
                 out += containers.gzip_trailer(self._crc, self._isize)
             self._finished = True
         elif mode in (Z_SYNC_FLUSH, Z_FULL_FLUSH):
-            out += self._encode(pending, final=False)
+            if self._tail_n:
+                if pending:
+                    out += self._encode_raw(pending, final=False)
+                out += self._sync_frame_bits()
+            else:
+                out += self._encode(pending, final=False)
             if mode == Z_FULL_FLUSH:
                 self._window = b""  # decode may restart here
+        elif mode == Z_BLOCK:
+            # Complete the pending input's blocks and stop at the block
+            # boundary: no empty stored block, no byte alignment — the
+            # stream may now end mid-byte (held in the tail until later
+            # output realigns it). zlib.h:170-173 contract.
+            if pending:
+                out += self._encode_raw(pending, final=False)
         elif mode == Z_NO_FLUSH:
             self._buf += pending
         else:
