@@ -531,29 +531,59 @@ def _emit_impl(
     dbase = jnp.take(jnp.asarray(C.DIST_BASE), dsym_safe, mode="clip")
     f3_v = (mdist - dbase).astype(jnp.uint32)
     f3_b = jnp.where(is_match, dext, 0)
-    tok_v = jnp.stack([f0_v, f1_v, f2_v, f3_v], axis=1)
-    tok_b = jnp.stack([f0_b, f1_b, f2_b, f3_b], axis=1)
 
-    parts_v, parts_b = [], []
-    hdr_field_idx = []  # static field index of each sub-block's hdr start
-    fcount = 0
+    # Merge each position's four fields into two (code|extra pairs, <= 20
+    # and <= 28 bits — still at most two u32 words each) and compute every
+    # field's absolute bit offset in closed form instead of materializing
+    # the interleaved [hdr, tokens, eob] stream: the interleave stacks and
+    # the 4N-element cumsum+scatter were the emit phase's dominant device
+    # cost (~40% of a measured 342 ms per 2 MiB batch on the target chip).
+    m0_v = f0_v | (f1_v << f0_b.astype(jnp.uint32))
+    m0_b = f0_b + f1_b
+    m1_v = f2_v | (f3_v << f2_b.astype(jnp.uint32))
+    m1_b = f2_b + f3_b
+
+    tw = (m0_b + m1_b).astype(jnp.int32)
+    cum = jnp.cumsum(tw)
+    excl = cum - tw
+    hdr_tot = jnp.sum(hdr_nbits, axis=1).astype(jnp.int32)  # (SB,)
+    eob_b32 = eob_nb.astype(jnp.int32)
+    # Per-sub-block: token-bit prefix S_b at its first position, token
+    # total T_b, and the stream layout [hdr_b, tokens_b, eob_b]...
+    S = jnp.stack([excl[bounds[b]] for b in range(sb)])
+    T = jnp.stack(
+        [cum[bounds[b + 1] - 1] - S[b] for b in range(sb)]
+    )
+    seg = hdr_tot + T + eob_b32
+    hdr_base = jnp.cumsum(seg) - seg  # (SB,) hdr start offsets
+    total_bits = hdr_base[sb - 1] + seg[sb - 1]
+    sb_bits = hdr_base
+
+    # Token offset: hdr_base[tb] + hdr_tot[tb] + (excl - S[tb]); the
+    # per-sub-block constant is applied with a static where-cascade
+    # (sb <= 4) rather than a gather.
+    add = jnp.zeros((), jnp.int32)
     for b in range(sb):
-        s, e = bounds[b], bounds[b + 1]
-        hdr_field_idx.append(fcount)
-        parts_v.append(hdr_vals[b].astype(jnp.uint32))
-        parts_b.append(hdr_nbits[b])
-        fcount += HDR_SLOTS
-        parts_v.append(tok_v[s:e].reshape(-1))
-        parts_b.append(tok_b[s:e].reshape(-1))
-        fcount += (e - s) * 4
-        parts_v.append(eob_v[b][None])
-        parts_b.append(eob_nb[b][None])
-        fcount += 1
+        const_b = hdr_base[b] + hdr_tot[b] - S[b]
+        add = jnp.where(pos >= bounds[b], const_b, add)
+    off0 = excl + add
+    off1 = off0 + m0_b
 
-    values = jnp.concatenate(parts_v)
-    nbits = jnp.concatenate(parts_b).astype(jnp.int32)
-    words, total_bits, sb_bits = bitpack.pack_fields(
-        values, nbits, out_words, report_indices=tuple(hdr_field_idx)
+    words = jnp.zeros((out_words,), jnp.uint32)
+    words = bitpack.scatter_fields(words, off0, m0_v, m0_b, out_words)
+    words = bitpack.scatter_fields(words, off1, m1_v, m1_b, out_words)
+
+    # Headers + EOBs: ~SB * (HDR_SLOTS + 1) small fields.
+    hdr_off = (
+        jnp.cumsum(hdr_nbits, axis=1) - hdr_nbits + hdr_base[:, None]
+    )
+    eob_off = hdr_base + hdr_tot + T
+    words = bitpack.scatter_fields(
+        words, hdr_off.reshape(-1), hdr_vals.reshape(-1).astype(jnp.uint32),
+        hdr_nbits.reshape(-1), out_words,
+    )
+    words = bitpack.scatter_fields(
+        words, eob_off, eob_v.astype(jnp.uint32), eob_b32, out_words
     )
     # True OUTPUT offset of each sub-block's first token: matches may
     # cross sub-block boundaries (a token belongs to the block where it

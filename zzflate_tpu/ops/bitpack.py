@@ -71,6 +71,28 @@ def pack_fields(
     return words, total_bits
 
 
+def scatter_fields(words, offsets, values, nbits, out_words: int):
+    """OR fields into an existing u32 word buffer at absolute bit offsets.
+
+    Same two-scatter-add trick as pack_fields but with caller-computed
+    offsets: any field layout whose offsets are known in closed form can
+    skip materializing an interleaved (value, nbits) stream. Fields may be
+    up to 31 bits wide (they still span at most two u32 words)."""
+    nbits = nbits.astype(jnp.int32)
+    values = values.astype(jnp.uint32) & (
+        (jnp.uint32(1) << nbits.astype(jnp.uint32)) - 1
+    )
+    word_idx = (offsets >> 5).astype(jnp.int32)
+    bit_idx = (offsets & 31).astype(jnp.uint32)
+    lo = values << bit_idx
+    hi = (values >> (jnp.uint32(31) - bit_idx)) >> jnp.uint32(1)
+    present = nbits > 0
+    wi_lo = jnp.where(present, word_idx, out_words)
+    wi_hi = jnp.where(present & (hi != 0), word_idx + 1, out_words)
+    words = words.at[wi_lo].add(lo, mode="drop")
+    return words.at[wi_hi].add(hi, mode="drop")
+
+
 def words_to_bytes(words, total_bits: int) -> bytes:
     """Serialize the packed words to the byte stream (host)."""
     import numpy as np
