@@ -126,6 +126,15 @@ def _encode_segments(
         sharding = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
     max_dist = min(32768, 1 << config.window_bits)
 
+    # Level-9 cost-aware parse: native C shortest-bit-path DP over the
+    # device matcher's (mlen, mdist) replaces the lazy commit
+    # (SURVEY.md C7 / Appendix B's chain-4096 effort analogue).
+    from zzflate_tpu import native as _native
+
+    optimal = (
+        params.optimal and not huffman_only and _native.lib() is not None
+    )
+
     def dispatch_analyze(b0: int):
         """Stage host rows for chunks [b0, b0+bsz) and queue analysis."""
         b1 = min(b0 + bsz, nchunks)
@@ -165,6 +174,8 @@ def _encode_segments(
                 with_checksums=with_checksums,
                 strategy=config.strategy, max_dist=max_dist,
             )
+        if optimal:
+            ana = dict(ana, _host_buf=buf, _host_valid_ends=valid_ends)
         return (b0, b1), bfinals, ana
 
     def plan_and_emit(sl, bfinals, ana):
@@ -188,6 +199,86 @@ def _encode_segments(
                 for j in range(bsz)
             ]
 
+        # Level 9: replace the device lazy parse with the C shortest-path
+        # DP, priced by the pass-1 trees; then rebuild tables from the
+        # DP's own token histogram (2-iteration cost model).
+        override = None
+        if optimal:
+            with maybe_stage("optimal_parse"):
+                from zzflate_tpu import constants as C_
+
+                buf = ana["_host_buf"]
+                vends = ana["_host_valid_ends"]
+                mlen_np = np.asarray(ana["mlen"])
+                mdist_np = np.asarray(ana["mdist"])
+                nn = buf.shape[1]
+                bounds = deflate_encoder.sub_block_bounds(nn)
+                sbn = len(bounds) - 1
+                com_b = np.zeros((bsz, nn), bool)
+                take_b = np.zeros((bsz, nn), bool)
+                sel_b = np.zeros((bsz, nn), np.int32)
+                sym_b = np.zeros((bsz, nn), np.int32)
+                lcode_b = np.zeros((bsz, nn), np.int32)
+                dcode_np = np.maximum(
+                    np.searchsorted(
+                        np.asarray(C_.DIST_BASE),
+                        np.maximum(mdist_np, 1),
+                        side="right",
+                    ).astype(np.int32)
+                    - 1,
+                    0,
+                )
+                ltc = np.asarray(C_.LENGTH_TO_CODE)
+                for j in range(bsz):
+                    res = _native.optimal_parse(
+                        buf[j], mlen_np[j], mdist_np[j], _WINDOW,
+                        int(vends[j]), plans[j]["ll_len"],
+                        plans[j]["d_len"], bounds,
+                    )
+                    if res is None:
+                        break  # library vanished: keep the lazy parse
+                    com, take, sel = res
+                    com_b[j], take_b[j], sel_b[j] = com, take, sel
+                    lc = ltc[np.clip(sel, 0, 258)]
+                    lcode_b[j] = lc
+                    sym_b[j] = np.where(
+                        take, 257 + lc, buf[j].astype(np.int32)
+                    )
+                    fll = np.zeros((sbn, 288), np.int64)
+                    fd = np.zeros((sbn, 30), np.int64)
+                    for b in range(sbn):
+                        s, e = bounds[b], bounds[b + 1]
+                        m = com[s:e]
+                        fll[b] = np.bincount(
+                            sym_b[j, s:e][m], minlength=288
+                        )
+                        fd[b] = np.bincount(
+                            dcode_np[j, s:e][take[s:e]], minlength=30
+                        )
+                    plans[j] = huffman_host.build_chunk_plan(
+                        fll, fd,
+                        bfinal=int(bfinals[j]) if b0 + j < b1 else 0,
+                        fixed_only=fixed_only,
+                        force_single=single_block_chunks,
+                    )
+                else:
+
+                    def up(a):
+                        arr = jnp.asarray(a)
+                        if sharding is not None:
+                            arr = jax.device_put(arr, sharding)
+                        return arr
+
+                    override = {
+                        "committed": up(com_b),
+                        "is_match": up(take_b),
+                        "litlen_sym": up(sym_b),
+                        "lcode": up(lcode_b),
+                        "mlen": up(sel_b),
+                        "dcode": ana["dcode"],
+                        "mdist": ana["mdist"],
+                    }
+
         def stack(key, dtype):
             arr = jnp.asarray(
                 np.stack([p[key] for p in plans]).astype(dtype)
@@ -198,7 +289,8 @@ def _encode_segments(
 
         with maybe_stage("emit_dispatch"):
             res = deflate_encoder.emit_chunks_batch(
-                {
+                override
+                or {
                     k: ana[k]
                     for k in (
                         "committed", "is_match", "litlen_sym", "lcode",

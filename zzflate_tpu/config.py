@@ -28,6 +28,10 @@ class LevelParams:
     # (4 = 16-byte keys, 16 = 64-byte true-suffix order).
     candidates: int
     key_words: int
+    # Cost-aware shortest-bit-path parse (native C DP over the device
+    # matcher's candidates) — the level-9 effort ramp beyond lazy
+    # matching (SURVEY.md Appendix B's chain-4096 analogue).
+    optimal: bool = False
 
 
 # level -> params; level 0 is stored-only (handled in the container layer).
@@ -40,7 +44,7 @@ LEVELS: dict[int, LevelParams] = {
     6: LevelParams(6, True, 16, 128, 16, 16),
     7: LevelParams(7, True, 32, 128, 20, 16),
     8: LevelParams(8, True, 128, 258, 24, 16),
-    9: LevelParams(9, True, 258, 258, 32, 16),
+    9: LevelParams(9, True, 258, 258, 32, 16, optimal=True),
 }
 
 # Encoding strategies (zlib.h:196-200 contract).

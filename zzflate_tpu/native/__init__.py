@@ -102,6 +102,22 @@ def lib() -> ctypes.CDLL | None:
         L.zzt_crc32.argtypes = [
             ctypes.c_uint32, ctypes.c_char_p, ctypes.c_size_t
         ]
+        L.zzt_optimal_parse.restype = ctypes.c_int
+        L.zzt_optimal_parse.argtypes = [
+            ctypes.c_void_p,          # data (uint8*)
+            ctypes.c_void_p,          # mlen (int32*)
+            ctypes.c_void_p,          # mdist (int32*)
+            ctypes.c_int64,           # n
+            ctypes.c_int64,           # start
+            ctypes.c_int64,           # end
+            ctypes.c_void_p,          # ll_bits (nsb x 288 int32)
+            ctypes.c_void_p,          # d_bits  (nsb x 30 int32)
+            ctypes.c_void_p,          # sub_bounds (int64*)
+            ctypes.c_int,             # nsb
+            ctypes.c_void_p,          # committed out (uint8*)
+            ctypes.c_void_p,          # take out (uint8*)
+            ctypes.c_void_p,          # sel_len out (int32*)
+        ]
         _lib = L
         return _lib
 
@@ -212,3 +228,39 @@ def crc32(data: bytes, value: int = 0) -> int:
 
         return zlib.crc32(data, value)
     return int(L.zzt_crc32(value, data, len(data)))
+
+
+def optimal_parse(data, mlen, mdist, start, end, ll_bits, d_bits, bounds):
+    """Shortest-bit-path parse of one chunk (level-9 encoder, C DP).
+
+    data/mlen/mdist: (N,) numpy uint8/int32/int32; ll_bits (SB, 288) and
+    d_bits (SB, 30) int32 provisional code lengths; bounds: SB+1 token
+    boundaries. Returns (committed, take, sel_len) numpy arrays, or None
+    when the native library is unavailable (caller falls back to the
+    device lazy parse).
+    """
+    import numpy as np
+
+    L = lib()
+    if L is None:
+        return None
+    n = len(data)
+    data = np.ascontiguousarray(data, np.uint8)
+    mlen = np.ascontiguousarray(mlen, np.int32)
+    mdist = np.ascontiguousarray(mdist, np.int32)
+    ll_bits = np.ascontiguousarray(ll_bits, np.int32)
+    d_bits = np.ascontiguousarray(d_bits, np.int32)
+    sub_bounds = np.ascontiguousarray(bounds, np.int64)
+    committed = np.zeros(n, np.uint8)
+    take = np.zeros(n, np.uint8)
+    sel_len = np.zeros(n, np.int32)
+    rc = L.zzt_optimal_parse(
+        data.ctypes.data, mlen.ctypes.data, mdist.ctypes.data,
+        n, int(start), int(end),
+        ll_bits.ctypes.data, d_bits.ctypes.data, sub_bounds.ctypes.data,
+        int(ll_bits.shape[0]),
+        committed.ctypes.data, take.ctypes.data, sel_len.ctypes.data,
+    )
+    if rc != 0:
+        raise RuntimeError(f"zzt_optimal_parse failed: {rc}")
+    return committed.astype(bool), take.astype(bool), sel_len

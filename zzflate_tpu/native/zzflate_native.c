@@ -13,6 +13,7 @@
 #include <stdint.h>
 #include <stddef.h>
 #include <string.h>
+#include <stdlib.h>
 
 #define ZZT_OK 0
 #define ZZT_E_BTYPE (-1)
@@ -526,4 +527,109 @@ uint32_t zzt_crc32(uint32_t crc, const uint8_t *buf, size_t len) {
   }
   while (len--) crc = (crc >> 8) ^ g_crc_tab[0][(crc ^ *buf++) & 0xFF];
   return ~crc;
+}
+
+/* ---------------------------------------------------------------------------
+ * Optimal (shortest-bit-path) parse for the level-9 encoder.
+ *
+ * Classic DEFLATE cost-aware parsing (the reference-class codec's lazy
+ * heuristic approximates this; SURVEY.md C7/Appendix B): given each
+ * position's best available match (mlen, mdist) from the device matcher
+ * and per-sub-block provisional code lengths, run a backward min-plus DP
+ * over token bit costs.  At a position the choices are: emit the literal,
+ * or emit a match of ANY length 3..mlen[i] at mdist[i] (shorter lengths at
+ * the same distance are always valid sources).  Only one candidate length
+ * per length-code class matters (all lengths in a class cost the same
+ * bits), so each position checks <= 29 match candidates.
+ *
+ * Cost tables: ll_bits (nsb x 288) and d_bits (nsb x 30) Huffman code
+ * lengths; a zero length means "symbol absent from the provisional tree"
+ * and is priced at 30 bits so the DP can still elect it (the final trees
+ * are rebuilt from the DP's token histogram afterwards).
+ * ------------------------------------------------------------------------- */
+
+static const int32_t g_lbase[29] = {3,  4,  5,  6,  7,  8,  9,  10, 11, 13,
+                                    15, 17, 19, 23, 27, 31, 35, 43, 51, 59,
+                                    67, 83, 99, 115, 131, 163, 195, 227, 258};
+static const int32_t g_lext[29] = {0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2,
+                                   2, 2, 3, 3, 3, 3, 4, 4, 4, 4, 5, 5, 5, 5,
+                                   0};
+static const int32_t g_dbase[30] = {1,    2,    3,    4,    5,    7,    9,
+                                    13,   17,   25,   33,   49,   65,   97,
+                                    129,  193,  257,  385,  513,  769,  1025,
+                                    1537, 2049, 3073, 4097, 6145, 8193, 12289,
+                                    16385, 24577};
+static const int32_t g_dext[30] = {0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4,  4,  5,
+                                   5, 6, 6, 7, 7, 8, 8, 9, 9, 10, 10, 11, 11,
+                                   12, 12, 13, 13};
+
+#define ZZT_ABSENT_BITS 30
+
+int zzt_optimal_parse(const uint8_t *data, const int32_t *mlen,
+                      const int32_t *mdist, int64_t n, int64_t start,
+                      int64_t end, const int32_t *ll_bits,
+                      const int32_t *d_bits, const int64_t *sub_bounds,
+                      int nsb, uint8_t *committed, uint8_t *take,
+                      int32_t *sel_len) {
+  if (end > n || start > end || nsb < 1) return -1;
+  uint32_t *cost = (uint32_t *)malloc((size_t)(end - start + 1) * 4);
+  int32_t *choice = (int32_t *)malloc((size_t)(end - start) * 4);
+  if (!cost || !choice) {
+    free(cost);
+    free(choice);
+    return -2;
+  }
+#define COST(i) cost[(i) - start]
+  COST(end) = 0;
+  int sb = nsb - 1;
+  for (int64_t i = end - 1; i >= start; i--) {
+    while (sb > 0 && i < sub_bounds[sb]) sb--;
+    const int32_t *llb = ll_bits + (size_t)sb * 288;
+    const int32_t *db = d_bits + (size_t)sb * 30;
+    int32_t lb = llb[data[i]];
+    uint32_t best = (lb ? (uint32_t)lb : ZZT_ABSENT_BITS) + COST(i + 1);
+    int32_t bl = 0;
+    int32_t ml = mlen[i];
+    if (ml >= 3) {
+      int32_t d = mdist[i];
+      int dc = 29;
+      while (dc > 0 && g_dbase[dc] > d) dc--;
+      int32_t dbits =
+          (db[dc] ? db[dc] : ZZT_ABSENT_BITS) + g_dext[dc];
+      if (ml > (int32_t)(end - i)) ml = (int32_t)(end - i);
+      for (int c = 0; c < 29 && g_lbase[c] <= ml; c++) {
+        int32_t top =
+            (c < 28) ? g_lbase[c] + (1 << g_lext[c]) - 1 : 258;
+        if (c == 27 && top > 257) top = 257; /* 258 is code 285 (c=28) */
+        int32_t L = ml < top ? ml : top;
+        int32_t sym = 257 + c;
+        int32_t cb = llb[sym];
+        uint32_t tc = (cb ? (uint32_t)cb : ZZT_ABSENT_BITS) +
+                      (uint32_t)g_lext[c] + (uint32_t)dbits + COST(i + L);
+        if (tc < best) {
+          best = tc;
+          bl = L;
+        }
+      }
+    }
+    COST(i) = best;
+    choice[i - start] = bl;
+  }
+  memset(committed + start, 0, (size_t)(end - start));
+  memset(take + start, 0, (size_t)(end - start));
+  memset(sel_len + start, 0, (size_t)(end - start) * 4);
+  for (int64_t i = start; i < end;) {
+    int32_t bl = choice[i - start];
+    committed[i] = 1;
+    if (bl >= 3) {
+      take[i] = 1;
+      sel_len[i] = bl;
+      i += bl;
+    } else {
+      i += 1;
+    }
+  }
+  free(cost);
+  free(choice);
+  return 0;
 }
