@@ -1,4 +1,5 @@
 """Bit-packing scatter vs a host-reference sequential bit writer."""
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -58,3 +59,55 @@ def test_value_masking():
     nbits = np.array([4], np.int32)
     words, total = bitpack.pack_fields(values, nbits, 2)
     assert bitpack.words_to_bytes(words, int(total)) == b"\x0f"
+
+
+def test_scatter_field48_vs_host():
+    # Random <=48-bit fields at dense offsets must reproduce the host
+    # bit-writer exactly (three-word straddles included).
+    rng = np.random.default_rng(42)
+    widths = rng.integers(1, 49, size=200).astype(np.int32)
+    vals = rng.integers(0, 1 << 48, size=200, dtype=np.uint64) & (
+        (np.uint64(1) << widths.astype(np.uint64)) - np.uint64(1)
+    )
+    offsets = np.concatenate([[0], np.cumsum(widths)[:-1]]).astype(np.int32)
+    total = int(widths.sum())
+    out_words = total // 32 + 3
+    lo = (vals & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    hi = (vals >> np.uint64(32)).astype(np.uint32)
+    words = bitpack.scatter_field48(
+        jnp.zeros((out_words,), jnp.uint32),
+        jnp.asarray(offsets), jnp.asarray(lo), jnp.asarray(hi),
+        jnp.asarray(widths), out_words,
+    )
+    got = bitpack.words_to_bytes(words, total)
+    # host reference
+    acc = 0
+    for v, w, o in zip(vals, widths, offsets):
+        acc |= int(v) << int(o)
+    ref = acc.to_bytes((total + 7) // 8, "little")
+    assert got == ref
+
+
+def test_closed_form_symbol_math_vs_tables():
+    from zzflate_tpu import constants as C
+    from zzflate_tpu.models import deflate_encoder as de
+
+    mlen = jnp.arange(3, 259, dtype=jnp.int32)
+    lc = np.asarray(de._len_code(mlen))
+    assert (lc == np.asarray(C.LENGTH_TO_CODE)[3:259]).all()
+    lext, lbase = de._len_extra_base(jnp.arange(29, dtype=jnp.int32))
+    assert (np.asarray(lext) == np.asarray(C.LENGTH_EXTRA)).all()
+    assert (np.asarray(lbase) == np.asarray(C.LENGTH_BASE)).all()
+
+    dist = jnp.arange(1, 32769, dtype=jnp.int32)
+    dc = np.asarray(de._dist_code(dist))
+    ref = (
+        np.searchsorted(
+            np.asarray(C.DIST_BASE), np.arange(1, 32769), side="right"
+        )
+        - 1
+    )
+    assert (dc == ref).all()
+    dext, dbase = de._dist_extra_base(jnp.arange(30, dtype=jnp.int32))
+    assert (np.asarray(dext) == np.asarray(C.DIST_EXTRA)).all()
+    assert (np.asarray(dbase) == np.asarray(C.DIST_BASE)).all()

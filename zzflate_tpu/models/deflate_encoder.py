@@ -29,6 +29,59 @@ from zzflate_tpu.ops import bitpack, huffman, matcher
 
 _CL_SLOTS = 340  # >= 286+30 RLE symbols + slack
 
+
+# ---------------------------------------------------------------------------
+# Closed-form symbol math. The RFC 1951 length/distance code tables (A.2/A.3)
+# are power-of-two ramps: after the first linear run, each extra-bit level e
+# holds a fixed count of codes spanning [base, base + 2^e) — so code, base
+# and extra all fall out of the operand's bit length. On the target chip a
+# full-width gather costs ~10-20 ms per 2.36M positions while elementwise
+# bit math is free; these replace EVERY per-token table gather (the tables
+# in constants.py remain the unit-test oracle).
+# ---------------------------------------------------------------------------
+
+
+def _bit_length(x: jax.Array) -> jax.Array:
+    """bit_length(x) for x >= 1 (int32)."""
+    return 32 - jax.lax.clz(x.astype(jnp.int32))
+
+
+def _len_code(mlen: jax.Array) -> jax.Array:
+    """LENGTH_TO_CODE[mlen] - 0 for mlen in [3, 258] (code 0..28)."""
+    m = jnp.clip(mlen, 3, C.MAX_MATCH) - 3
+    bl = _bit_length(jnp.maximum(m, 1))
+    hi = 4 * (bl - 2) + ((m >> jnp.maximum(bl - 3, 0)) & 3)
+    return jnp.where(
+        mlen >= C.MAX_MATCH, 28, jnp.where(m < 8, m, hi)
+    ).astype(jnp.int32)
+
+
+def _len_extra_base(lcode: jax.Array):
+    """(extra_bits, base_length) of a length code 0..28."""
+    e = jnp.maximum((lcode >> 2) - 1, 0)
+    base = jnp.where(
+        lcode < 4, lcode + 3, 3 + ((4 + (lcode & 3)) << e)
+    )
+    ext = jnp.where((lcode < 4) | (lcode >= 28), 0, e)
+    base = jnp.where(lcode >= 28, C.MAX_MATCH, base)
+    return ext.astype(jnp.int32), base.astype(jnp.int32)
+
+
+def _dist_code(mdist: jax.Array) -> jax.Array:
+    """Distance code 0..29 for mdist in [1, 32768]."""
+    n = jnp.maximum(mdist, 1) - 1
+    bl = _bit_length(jnp.maximum(n, 1))
+    hi = 2 * (bl - 1) + ((n >> jnp.maximum(bl - 2, 0)) & 1)
+    return jnp.where(n < 4, n, hi).astype(jnp.int32)
+
+
+def _dist_extra_base(dcode: jax.Array):
+    """(extra_bits, base_distance) of a distance code 0..29."""
+    e = jnp.maximum((dcode >> 1) - 1, 0)
+    base = jnp.where(dcode < 4, dcode + 1, 1 + ((2 + (dcode & 1)) << e))
+    ext = jnp.where(dcode < 4, 0, e)
+    return ext.astype(jnp.int32), base.astype(jnp.int32)
+
 _FIXED_LL_LEN = C.fixed_litlen_lengths()
 _FIXED_LL_CODE = C.bit_reverse(
     C.canonical_codes(_FIXED_LL_LEN), _FIXED_LL_LEN
@@ -153,16 +206,9 @@ def _encode_impl(
     is_match = take
     is_lit = committed & ~take
 
-    # Per-position symbols.
-    lcode = jnp.take(
-        jnp.asarray(C.LENGTH_TO_CODE), jnp.clip(mlen, 0, C.MAX_MATCH), mode="clip"
-    )
-    dcode = (
-        jnp.searchsorted(
-            jnp.asarray(C.DIST_BASE), jnp.maximum(mdist, 1), side="right"
-        ).astype(jnp.int32)
-        - 1
-    )
+    # Per-position symbols (closed-form, no gathers).
+    lcode = _len_code(mlen)
+    dcode = _dist_code(mdist)
     litlen_sym = jnp.where(is_match, 257 + lcode, data.astype(jnp.int32))
 
     # Histograms (EOB counted once; small alphabets forced to >=2 used
@@ -228,8 +274,7 @@ def _encode_impl(
     extra_bits_total = jnp.sum(
         jnp.where(
             is_match,
-            jnp.take(jnp.asarray(C.LENGTH_EXTRA), lcode, mode="clip")
-            + jnp.take(jnp.asarray(C.DIST_EXTRA), jnp.clip(dcode, 0, 29), mode="clip"),
+            _len_extra_base(lcode)[0] + _dist_extra_base(dcode)[0],
             0,
         )
     )
@@ -276,14 +321,12 @@ def _encode_impl(
     dsym_safe = jnp.clip(dcode, 0, C.NUM_DIST_SYMBOLS - 1)
     f0_v = ll_code_sel[lsym_safe]
     f0_b = jnp.where(committed, ll_len[lsym_safe], 0)
-    lext = jnp.take(jnp.asarray(C.LENGTH_EXTRA), lcode, mode="clip")
-    lbase = jnp.take(jnp.asarray(C.LENGTH_BASE), lcode, mode="clip")
+    lext, lbase = _len_extra_base(lcode)
     f1_v = (mlen - lbase).astype(jnp.uint32)
     f1_b = jnp.where(is_match, lext, 0)
     f2_v = d_code_sel[dsym_safe]
     f2_b = jnp.where(is_match, d_len[dsym_safe], 0)
-    dext = jnp.take(jnp.asarray(C.DIST_EXTRA), dsym_safe, mode="clip")
-    dbase = jnp.take(jnp.asarray(C.DIST_BASE), dsym_safe, mode="clip")
+    dext, dbase = _dist_extra_base(dsym_safe)
     f3_v = (mdist - dbase).astype(jnp.uint32)
     f3_b = jnp.where(is_match, dext, 0)
     tok_v = jnp.stack([f0_v, f1_v, f2_v, f3_v], axis=1).reshape(-1)
@@ -387,16 +430,8 @@ def _tokenize(data, start, valid_end, window_start, params, huffman_only,
         nice=params.nice,
     )
     is_match = take
-    lcode = jnp.take(
-        jnp.asarray(C.LENGTH_TO_CODE), jnp.clip(mlen, 0, C.MAX_MATCH),
-        mode="clip",
-    )
-    dcode = (
-        jnp.searchsorted(
-            jnp.asarray(C.DIST_BASE), jnp.maximum(mdist, 1), side="right"
-        ).astype(jnp.int32)
-        - 1
-    )
+    lcode = _len_code(mlen)
+    dcode = _dist_code(mdist)
     litlen_sym = jnp.where(is_match, 257 + lcode, data.astype(jnp.int32))
     return committed, is_match, litlen_sym, lcode, dcode, mlen, mdist
 
@@ -445,16 +480,8 @@ def analyze_chunks_batch(data, starts, valid_ends, window_starts, params,
     )
     is_match = take
 
-    lcode = jnp.take(
-        jnp.asarray(C.LENGTH_TO_CODE), jnp.clip(mlen, 0, C.MAX_MATCH),
-        mode="clip",
-    )
-    dcode = (
-        jnp.searchsorted(
-            jnp.asarray(C.DIST_BASE), jnp.maximum(mdist, 1), side="right"
-        ).astype(jnp.int32)
-        - 1
-    )
+    lcode = _len_code(mlen)
+    dcode = _dist_code(mdist)
     litlen_sym = jnp.where(is_match, 257 + lcode, data.astype(jnp.int32))
 
     bounds = sub_block_bounds(n)
@@ -519,29 +546,48 @@ def _emit_impl(
 
     lsym_safe = jnp.clip(litlen_sym, 0, C.NUM_LITLEN_SYMBOLS - 1)
     dsym_safe = jnp.clip(dcode, 0, C.NUM_DIST_SYMBOLS - 1)
-    f0_v = ll_code[tb, lsym_safe]
-    f0_b = jnp.where(committed, ll_len[tb, lsym_safe], 0)
-    lext = jnp.take(jnp.asarray(C.LENGTH_EXTRA), lcode, mode="clip")
-    lbase = jnp.take(jnp.asarray(C.LENGTH_BASE), lcode, mode="clip")
+    # ONE packed gather per tree (entry = code | len << 20; codes <= 15
+    # bits after bit-reversal, lengths <= 15) — on the target chip each
+    # full-width gather costs ~10-20 ms/2.36M, so halving the table
+    # lookups and replacing the base/extra table takes with closed-form
+    # bit math (_len_extra_base/_dist_extra_base) is the emit phase's
+    # main cost lever.
+    ll_pack = ll_code.astype(jnp.uint32) | (ll_len.astype(jnp.uint32) << 20)
+    d_pack = d_code.astype(jnp.uint32) | (d_len.astype(jnp.uint32) << 20)
+    e0 = ll_pack[tb, lsym_safe]
+    f0_v = e0 & jnp.uint32(0xFFFFF)
+    f0_b = jnp.where(committed, (e0 >> 20).astype(jnp.int32), 0)
+    e2 = d_pack[tb, dsym_safe]
+    f2_v = e2 & jnp.uint32(0xFFFFF)
+    f2_b = jnp.where(is_match, (e2 >> 20).astype(jnp.int32), 0)
+    lext, lbase = _len_extra_base(lcode)
     f1_v = (mlen - lbase).astype(jnp.uint32)
     f1_b = jnp.where(is_match, lext, 0)
-    f2_v = d_code[tb, dsym_safe]
-    f2_b = jnp.where(is_match, d_len[tb, dsym_safe], 0)
-    dext = jnp.take(jnp.asarray(C.DIST_EXTRA), dsym_safe, mode="clip")
-    dbase = jnp.take(jnp.asarray(C.DIST_BASE), dsym_safe, mode="clip")
+    dext, dbase = _dist_extra_base(dsym_safe)
     f3_v = (mdist - dbase).astype(jnp.uint32)
     f3_b = jnp.where(is_match, dext, 0)
 
-    # Merge each position's four fields into two (code|extra pairs, <= 20
-    # and <= 28 bits — still at most two u32 words each) and compute every
-    # field's absolute bit offset in closed form instead of materializing
-    # the interleaved [hdr, tokens, eob] stream: the interleave stacks and
-    # the 4N-element cumsum+scatter were the emit phase's dominant device
-    # cost (~40% of a measured 342 ms per 2 MiB batch on the target chip).
-    m0_v = f0_v | (f1_v << f0_b.astype(jnp.uint32))
+    # Merge each position's four fields into ONE <= 48-bit field (lo u32 +
+    # hi 16 bits) with a closed-form absolute bit offset: one cumsum, one
+    # three-word scatter — instead of materializing an interleaved
+    # [hdr, tokens, eob] stream (the stacks + 4N cumsum+scatter were the
+    # emit phase's dominant device cost before).
+    def _mask(v, b):
+        return v.astype(jnp.uint32) & (
+            (jnp.uint32(1) << b.astype(jnp.uint32)) - 1
+        )
+
+    f0m = _mask(f0_v, f0_b)
+    f1m = _mask(f1_v, f1_b)
+    f2m = _mask(f2_v, f2_b)
+    f3m = _mask(f3_v, f3_b)
+    m0_v = f0m | (f1m << f0_b.astype(jnp.uint32))
     m0_b = f0_b + f1_b
-    m1_v = f2_v | (f3_v << f2_b.astype(jnp.uint32))
+    m1_v = f2m | (f3m << f2_b.astype(jnp.uint32))
     m1_b = f2_b + f3_b
+    m0u = m0_b.astype(jnp.uint32)
+    lo48 = m0_v | (m1_v << m0u)
+    hi48 = (m1_v >> (jnp.uint32(31) - m0u)) >> jnp.uint32(1)
 
     tw = (m0_b + m1_b).astype(jnp.int32)
     cum = jnp.cumsum(tw)
@@ -567,11 +613,9 @@ def _emit_impl(
         const_b = hdr_base[b] + hdr_tot[b] - S[b]
         add = jnp.where(pos >= bounds[b], const_b, add)
     off0 = excl + add
-    off1 = off0 + m0_b
 
     words = jnp.zeros((out_words,), jnp.uint32)
-    words = bitpack.scatter_fields(words, off0, m0_v, m0_b, out_words)
-    words = bitpack.scatter_fields(words, off1, m1_v, m1_b, out_words)
+    words = bitpack.scatter_field48(words, off0, lo48, hi48, tw, out_words)
 
     # Headers + EOBs: ~SB * (HDR_SLOTS + 1) small fields.
     hdr_off = (

@@ -59,6 +59,15 @@ _R = 256                      # row size in bits for the commit sweeps
 _RR = _R * _R                 # superrow size
 _HUGE = _R + 1                # step value meaning "EOB / invalid: stop"
 
+_W = 32768                    # DEFLATE window: max LZ reach across groups
+# Streams larger than one device graph decode in GROUPS of consecutive
+# chunks: every group reuses ONE compiled shape (the platform's compile
+# helper cannot hold a whole-stream graph above a few MiB of body), and
+# carries the previous 32 KiB of output as a resolved prefix so LZ
+# references across the group seam stay exact.
+_GROUP_BITS = 1 << 23
+_GROUP_BODY = (_GROUP_BITS - 16) // 8
+
 _MAX_LL = 288
 _MAX_D = 32  # HDIST is 5 bits: up to 32 dist codes (30/31 invalid if used)
 
@@ -152,9 +161,10 @@ class _Unit:
         self.d = d              # (first, cnt, off, symtab) dist
 
 
-def _plan_units(body: bytes, chunks, out_starts, out_sizes, header_len):
+def _plan_units(body: bytes, chunks, out_starts, out_sizes):
     """Host walk: per indexed block, parse its header into canonical
-    descriptors; stored segments are collected as (offsets, bytes)."""
+    descriptors; stored segments are collected as (offsets, bytes).
+    Offsets (bit and output) are relative to the given body/out space."""
     units = []
     stored_idx: list[np.ndarray] = []
     stored_val: list[np.ndarray] = []
@@ -406,12 +416,17 @@ def _commit_walk(step, start_bits, unit_valid, max_sup_span):
 )
 def _decode_all(
     words, ll_first, ll_cnt, ll_off, ll_sym, d_first, d_cnt, d_off, d_sym,
-    start_bits, out_bases, unit_valid, total_out, stored_idx, stored_val,
+    start_bits, out_bases, unit_valid, prefix, stored_idx, stored_val,
     nbits, n_out_pad, max_sup_span, n_stored,
 ):
     """One fused device graph: LUT build -> per-bit decode -> commit ->
     token scatter -> LZ resolve -> bytes (CRC-32 runs as a separate
-    dispatch; see decompress_indexed)."""
+    dispatch; see decompress_indexed).
+
+    `prefix` is the previous 32 KiB of decoded output (zeros for the
+    first group); it occupies output positions [0, _W) as self-resolved
+    literals, so token offsets/bases are shifted by _W and LZ distances
+    reaching before this group's first byte land on real history."""
     ll_lut = _build_luts(
         ll_first, ll_cnt, ll_off, ll_sym, jnp.asarray(_ll_attr()),
         _MAX_LL, 10,
@@ -444,8 +459,15 @@ def _decode_all(
 
     com_tok = committed & (islit | islen)
     tgt = jnp.where(com_tok, off, n_out_pad)
-    litval = jnp.zeros((n_out_pad,), jnp.int32)
-    start_mark = jnp.full((n_out_pad,), -1, jnp.int32)
+    litval = jnp.concatenate(
+        [prefix.astype(jnp.int32), jnp.zeros((n_out_pad - _W,), jnp.int32)]
+    )
+    start_mark = jnp.concatenate(
+        [
+            jnp.arange(_W, dtype=jnp.int32),
+            jnp.full((n_out_pad - _W,), -1, jnp.int32),
+        ]
+    )
     dist_at = jnp.zeros((n_out_pad,), jnp.int32)
     if n_stored:
         litval = litval.at[stored_idx].max(
@@ -539,8 +561,10 @@ def decompress_indexed(
             if bit_off >= 8 * max(sz, 1) or out_off > chunk_bytes:
                 raise ValueError("ZZ index: block offsets out of range")
 
-    if total_out > (1 << 28) or member_len - header_len - 8 > (1 << 28):
-        return None  # whole-stream device decode cap; native fallback
+    if total_out > (1 << 30) or member_len - header_len - 8 > (1 << 30):
+        return None  # host-memory sanity cap; native fallback
+    if any(sz > _GROUP_BODY for sz, _ in chunks):
+        return None  # one chunk exceeds a device graph; native fallback
 
     out_sizes = [
         min(chunk_bytes, max(0, total_out - i * chunk_bytes))
@@ -549,83 +573,160 @@ def decompress_indexed(
     out_starts = [i * chunk_bytes for i in range(nchunks)]
     body = data[header_len : member_len - 8]
 
+    # Partition chunks into groups: each group's compressed body fits one
+    # device graph, and every non-final group shares the SAME compiled
+    # shape (nbits fixed at _GROUP_BITS when more than one group exists).
+    cpos = [0]
+    for sz, _b in chunks:
+        cpos.append(cpos[-1] + sz)
+    groups: list[tuple[int, int]] = []
+    lo = 0
+    for i in range(nchunks):
+        if cpos[i + 1] - cpos[lo] > _GROUP_BODY:
+            groups.append((lo, i))
+            lo = i
+    if lo < nchunks:
+        groups.append((lo, nchunks))
+
+    # Host walk of every group's block headers (tiny descriptors only).
+    plans = []
+    max_units = 1
+    max_stored = 0
     try:
-        units, stored_idx, stored_val = _plan_units(
-            body, chunks, out_starts, out_sizes, header_len
-        )
+        for glo, ghi in groups:
+            g_out_lo = out_starts[glo]
+            units, sidx, sval = _plan_units(
+                body[cpos[glo] : cpos[ghi]],
+                chunks[glo:ghi],
+                [_W + out_starts[i] - g_out_lo for i in range(glo, ghi)],
+                out_sizes[glo:ghi],
+            )
+            si = (
+                np.concatenate(sidx).astype(np.int64)
+                if sidx
+                else np.zeros(0, np.int64)
+            )
+            sv = (
+                np.concatenate(sval) if sval else np.zeros(0, np.uint8)
+            )
+            plans.append((glo, ghi, units, si, sv))
+            max_units = max(max_units, len(units))
+            max_stored = max(max_stored, len(si))
     except (IndexError, struct.error) as e:
         # Host header parsing ran off the segment: the index lied.
         raise ValueError(f"corrupt indexed segment: {e}") from e
 
-    n_out_pad = _pow2(max(1, total_out))
-    nbits = max(_RR, _pow2(len(body) * 8 + 16))
-    u_pad = _pow2(max(1, len(units)))
+    # Shared static shapes so all groups hit one compiled graph.
+    multi = len(groups) > 1
+    max_body = max((cpos[hi] - cpos[lo] for lo, hi in groups), default=0)
+    nbits = (
+        _GROUP_BITS if multi else max(_RR, _pow2(max_body * 8 + 16))
+    )
+    max_go = max(
+        (
+            out_starts[hi - 1] + out_sizes[hi - 1] - out_starts[lo]
+            for lo, hi in groups
+        ),
+        default=0,
+    )
+    n_out_pad = _pow2(_W + max(1, max_go))
+    u_pad = _pow2(max_units)
     max_seg_bits = max((sz * 8 for sz, _ in chunks), default=1)
     max_sup_span = min(nbits // _RR, max_seg_bits // _RR + 2)
-
-    # Staging (host, numpy): tiny per-block descriptors only.
+    n_stored = _pow2(max_stored) if max_stored else 0
     nw = nbits // 32 + 2
-    wbytes = body + b"\x00" * (nw * 4 - len(body))
-    words = np.frombuffer(wbytes[: nw * 4], "<u4")
-    ll_first = np.zeros((u_pad, 16), np.int32)
-    ll_cnt = np.zeros((u_pad, 16), np.int32)
-    ll_offs = np.zeros((u_pad, 16), np.int32)
-    ll_sym = np.zeros((u_pad, _MAX_LL), np.int32)
-    d_first = np.zeros((u_pad, 16), np.int32)
-    d_cnt = np.zeros((u_pad, 16), np.int32)
-    d_offs = np.zeros((u_pad, 16), np.int32)
-    d_sym = np.zeros((u_pad, _MAX_D), np.int32)
-    start_bits = np.zeros(u_pad, np.int32)
-    out_bases = np.zeros(u_pad, np.int32)
-    unit_valid = np.zeros(u_pad, bool)
-    for j, un in enumerate(units):
-        ll_first[j], ll_cnt[j], ll_offs[j], ll_sym[j] = un.ll
-        d_first[j], d_cnt[j], d_offs[j], d_sym[j] = un.d
-        start_bits[j] = un.bit
-        out_bases[j] = un.out_base
-        unit_valid[j] = True
 
-    n_stored = 0
-    if stored_idx:
-        si = np.concatenate(stored_idx)
-        sv = np.concatenate(stored_val)
-        n_stored = _pow2(len(si))
-        si = np.pad(si, (0, n_stored - len(si)), constant_values=n_out_pad)
-        sv = np.pad(sv, (0, n_stored - len(sv)))
-        si = si.astype(np.int32)
-    else:
-        si = np.zeros(1, np.int32)
-        sv = np.zeros(1, np.uint8)
+    from zzflate_tpu.ops import checksums as cs
 
-    out_dev = _decode_all(
-        jnp.asarray(words), jnp.asarray(ll_first), jnp.asarray(ll_cnt),
-        jnp.asarray(ll_offs), jnp.asarray(ll_sym), jnp.asarray(d_first),
-        jnp.asarray(d_cnt), jnp.asarray(d_offs), jnp.asarray(d_sym),
-        jnp.asarray(start_bits), jnp.asarray(out_bases),
-        jnp.asarray(unit_valid), jnp.asarray(total_out, jnp.int32),
-        jnp.asarray(si), jnp.asarray(sv),
-        nbits=nbits, n_out_pad=n_out_pad, max_sup_span=max_sup_span,
-        n_stored=n_stored,
-    )
+    prefix = jnp.zeros((_W,), jnp.uint8)
+    group_out: list[tuple[jax.Array, int]] = []  # (device buf, out bytes)
+    group_crc: list[jax.Array] = []
+    for glo, ghi, units, si0, sv0 in plans:
+        gbody = body[cpos[glo] : cpos[ghi]]
+        go = (
+            out_starts[ghi - 1] + out_sizes[ghi - 1] - out_starts[glo]
+        )
+        wbytes = gbody + b"\x00" * (nw * 4 - len(gbody))
+        words = np.frombuffer(wbytes[: nw * 4], "<u4")
+        ll_first = np.zeros((u_pad, 16), np.int32)
+        ll_cnt = np.zeros((u_pad, 16), np.int32)
+        ll_offs = np.zeros((u_pad, 16), np.int32)
+        ll_sym = np.zeros((u_pad, _MAX_LL), np.int32)
+        d_first = np.zeros((u_pad, 16), np.int32)
+        d_cnt = np.zeros((u_pad, 16), np.int32)
+        d_offs = np.zeros((u_pad, 16), np.int32)
+        d_sym = np.zeros((u_pad, _MAX_D), np.int32)
+        start_bits = np.zeros(u_pad, np.int32)
+        out_bases = np.zeros(u_pad, np.int32)
+        unit_valid = np.zeros(u_pad, bool)
+        for j, un in enumerate(units):
+            ll_first[j], ll_cnt[j], ll_offs[j], ll_sym[j] = un.ll
+            d_first[j], d_cnt[j], d_offs[j], d_sym[j] = un.d
+            start_bits[j] = un.bit
+            out_bases[j] = un.out_base
+            unit_valid[j] = True
+        if n_stored:
+            si = np.full(n_stored, n_out_pad, np.int32)
+            si[: len(si0)] = si0
+            sv = np.zeros(n_stored, np.uint8)
+            sv[: len(sv0)] = sv0
+        else:
+            si = np.zeros(1, np.int32)
+            sv = np.zeros(1, np.uint8)
+
+        out_dev = _decode_all(
+            jnp.asarray(words), jnp.asarray(ll_first), jnp.asarray(ll_cnt),
+            jnp.asarray(ll_offs), jnp.asarray(ll_sym), jnp.asarray(d_first),
+            jnp.asarray(d_cnt), jnp.asarray(d_offs), jnp.asarray(d_sym),
+            jnp.asarray(start_bits), jnp.asarray(out_bases),
+            jnp.asarray(unit_valid), prefix,
+            jnp.asarray(si), jnp.asarray(sv),
+            nbits=nbits, n_out_pad=n_out_pad, max_sup_span=max_sup_span,
+            n_stored=n_stored,
+        )
+        group_out.append((out_dev, go))
+        if verify:
+            # Device-side CRC as its own dispatch over the padded buffer
+            # (fixed shape -> one compiled graph for every group; fusing
+            # the tree-combine unroll into the decode graph overloads the
+            # platform's compile helper at large sizes).
+            group_crc.append(
+                cs._crc32_impl(
+                    out_dev,
+                    jnp.asarray(_W + go, jnp.int32),
+                    jnp.asarray(_W, jnp.int32),
+                )
+            )
+        if (glo, ghi) != groups[-1]:
+            # Last 32 KiB of output-so-far: positions [go, go+_W) of this
+            # buffer (its own [0,_W) prefix covers the short-output case).
+            prefix = jax.lax.dynamic_slice(
+                out_dev, (jnp.asarray(go, jnp.int32),), (_W,)
+            )
 
     if verify:
-        # Device-side CRC as its own dispatch (fusing the ~log n
-        # tree-combine unroll into the decode graph overloads the
-        # platform's compile helper at large sizes).
-        from zzflate_tpu.ops import checksums as cs
-
-        crc_dev = cs._crc32_impl(
-            out_dev, jnp.asarray(total_out, jnp.int32), jnp.int32(0)
-        )
-        if int(np.asarray(crc_dev)) != crc_expect:
+        crc = 0
+        for crc_dev, (_buf, go) in zip(group_crc, group_out):
+            crc = cs.crc32_combine(crc, int(np.asarray(crc_dev)), go)
+        if crc != crc_expect:
             raise ValueError("crc32 mismatch (TPU inflate)")
 
     if to_device:
         if tail:
             raise ValueError("to_device unsupported for multi-member gzip")
-        return out_dev[:total_out], total_out
+        if not group_out:
+            return jnp.zeros((0,), jnp.uint8), 0
+        if len(group_out) == 1:
+            buf, go = group_out[0]
+            return buf[_W : _W + total_out], total_out
+        return (
+            jnp.concatenate([buf[_W : _W + go] for buf, go in group_out]),
+            total_out,
+        )
 
-    out = _fetch_bytes(out_dev, total_out)
+    out = b"".join(
+        _fetch_bytes(buf, go, base=_W) for buf, go in group_out
+    )
     if verify and (len(out) & 0xFFFFFFFF) != (isize & 0xFFFFFFFF):
         raise ValueError("isize mismatch (TPU inflate)")
     if tail:
@@ -638,15 +739,15 @@ def decompress_indexed(
 _FETCH_SLICE = 2 << 20
 
 
-def _fetch_bytes(out_dev: jax.Array, total_out: int) -> bytes:
+def _fetch_bytes(out_dev: jax.Array, total_out: int, base: int = 0) -> bytes:
     """Device->host in bounded slices (large one-shot fetches are
     pathological on the tunneled platform; see BASELINE.md)."""
     if total_out == 0:
         return b""
     if total_out <= _FETCH_SLICE:
-        return np.asarray(out_dev[:total_out]).tobytes()
+        return np.asarray(out_dev[base : base + total_out]).tobytes()
     parts = []
     for a in range(0, total_out, _FETCH_SLICE):
         b = min(a + _FETCH_SLICE, total_out)
-        parts.append(np.asarray(out_dev[a:b]).tobytes())
+        parts.append(np.asarray(out_dev[base + a : base + b]).tobytes())
     return b"".join(parts)

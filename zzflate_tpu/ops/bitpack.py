@@ -93,6 +93,32 @@ def scatter_fields(words, offsets, values, nbits, out_words: int):
     return words.at[wi_hi].add(hi, mode="drop")
 
 
+def scatter_field48(words, offsets, lo, hi, nbits, out_words: int):
+    """OR fields of up to 48 bits into the buffer at absolute bit offsets.
+
+    The field value arrives pre-split as lo (low 32 bits) and hi (bits
+    32..47); values must already be masked to `nbits` total. A 48-bit
+    field at an arbitrary bit offset spans at most THREE u32 words —
+    three scatter-adds replace the four that two 32-bit-field passes
+    would need (disjoint bit ranges make add == or)."""
+    nbits = nbits.astype(jnp.int32)
+    lo = lo.astype(jnp.uint32)
+    hi = hi.astype(jnp.uint32)
+    word_idx = (offsets >> 5).astype(jnp.int32)
+    b = (offsets & 31).astype(jnp.uint32)
+    w0 = lo << b
+    # x >> (32 - b) is UB at b=0; the two-step shift keeps it defined.
+    w1 = ((lo >> (jnp.uint32(31) - b)) >> jnp.uint32(1)) | (hi << b)
+    w2 = (hi >> (jnp.uint32(31) - b)) >> jnp.uint32(1)
+    present = nbits > 0
+    i0 = jnp.where(present, word_idx, out_words)
+    i1 = jnp.where(present & (w1 != 0), word_idx + 1, out_words)
+    i2 = jnp.where(present & (w2 != 0), word_idx + 2, out_words)
+    words = words.at[i0].add(w0, mode="drop")
+    words = words.at[i1].add(w1, mode="drop")
+    return words.at[i2].add(w2, mode="drop")
+
+
 def words_to_bytes(words, total_bits: int) -> bytes:
     """Serialize the packed words to the byte stream (host)."""
     import numpy as np
