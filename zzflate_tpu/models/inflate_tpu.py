@@ -62,11 +62,14 @@ _HUGE = _R + 1                # step value meaning "EOB / invalid: stop"
 _W = 32768                    # DEFLATE window: max LZ reach across groups
 # Streams larger than one device graph decode in GROUPS of consecutive
 # chunks: every group reuses ONE compiled shape (the platform's compile
-# helper cannot hold a whole-stream graph above a few MiB of body), and
-# carries the previous 32 KiB of output as a resolved prefix so LZ
-# references across the group seam stay exact.
-_GROUP_BITS = 1 << 23
+# helper cannot hold a whole-stream graph beyond ~0.5 MiB of body — a
+# 2^23-bit graph never returned from the remote compiler), and carries
+# the previous 32 KiB of output as a resolved prefix so LZ references
+# across the group seam stay exact. _GROUP_OUT bounds the group's OUTPUT
+# so high-ratio data cannot blow up the padded output buffer.
+_GROUP_BITS = 1 << 22
 _GROUP_BODY = (_GROUP_BITS - 16) // 8
+_GROUP_OUT = 2 << 20
 
 _MAX_LL = 288
 _MAX_D = 32  # HDIST is 5 bits: up to 32 dist codes (30/31 invalid if used)
@@ -573,16 +576,21 @@ def decompress_indexed(
     out_starts = [i * chunk_bytes for i in range(nchunks)]
     body = data[header_len : member_len - 8]
 
-    # Partition chunks into groups: each group's compressed body fits one
-    # device graph, and every non-final group shares the SAME compiled
-    # shape (nbits fixed at _GROUP_BITS when more than one group exists).
+    # Partition chunks into groups: each group's compressed body and
+    # decoded output fit one device graph, and every non-final group
+    # shares the SAME compiled shape (nbits fixed at _GROUP_BITS when
+    # more than one group exists).
+    out_cap = max(_GROUP_OUT, chunk_bytes)
     cpos = [0]
     for sz, _b in chunks:
         cpos.append(cpos[-1] + sz)
     groups: list[tuple[int, int]] = []
     lo = 0
     for i in range(nchunks):
-        if cpos[i + 1] - cpos[lo] > _GROUP_BODY:
+        if (
+            cpos[i + 1] - cpos[lo] > _GROUP_BODY
+            or (i + 1 - lo) * chunk_bytes > out_cap
+        ) and i > lo:
             groups.append((lo, i))
             lo = i
     if lo < nchunks:
