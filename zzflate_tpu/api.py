@@ -67,12 +67,15 @@ def _build_chunk_batch(
 def _device_batch(chunk_bytes: int, mem_level: int = 8) -> int:
     """Chunks dispatched per device call, sized to bound peak HBM.
 
-    ~2 MiB of chunk data per dispatch at the default mem_level=8: the
+    ~4 MiB of chunk data per dispatch at the default mem_level=8: the
     suffix-sort matcher holds ~15 int32 arrays per position (~70 MiB per
-    MiB-of-input transient). mem_level (zlib.h:581-585 contract) scales
-    the budget: each level below 8 halves it, 9 doubles it."""
+    MiB-of-input transient, ~0.6 GiB peak with the 2-batch pipeline —
+    comfortable in 16 GiB HBM) and larger dispatches amortize the
+    tunnel's ~30-65 ms dispatch latency. mem_level (zlib.h:581-585
+    contract) scales the budget: each level below 8 halves it, 9
+    doubles it."""
     shift = mem_level - 8
-    budget = (2 << 20) << shift if shift >= 0 else (2 << 20) >> -shift
+    budget = (4 << 20) << shift if shift >= 0 else (4 << 20) >> -shift
     return max(1, min(16, budget // chunk_bytes))
 
 

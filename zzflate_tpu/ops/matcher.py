@@ -90,18 +90,28 @@ def _word_lcp_bytes(x: jax.Array) -> jax.Array:
     )
 
 
-def _merge(best_len, best_dist, s_len, s_dist, spos, n):
-    """Scatter sort-space results to position order and fold into bests."""
-    p_len = jnp.zeros((n,), jnp.int32).at[spos].set(s_len)
-    p_dist = jnp.zeros((n,), jnp.int32).at[spos].set(s_dist)
-    better = (p_len > best_len) | (
-        (p_len == best_len) & (p_len > 0)
-        & ((best_dist == 0) | (p_dist < best_dist))
+def _merge(best_pack, s_len, s_dist, spos, n):
+    """Scatter sort-space results to position order and fold into bests.
+
+    Candidates are PACKED as len<<15 | (32768 - dist) so one scatter and
+    one elementwise max give exactly the (max length, then min distance)
+    preference the reference's chain walk has — halving the full-width
+    scatters the two-array formulation needed."""
+    pack = jnp.where(
+        s_len > 0,
+        (s_len << 15) | (jnp.int32(WINDOW_SIZE) - s_dist),
+        0,
     )
-    better = better & (p_len > 0)
-    best_len = jnp.where(better, p_len, best_len)
-    best_dist = jnp.where(better, p_dist, best_dist)
-    return best_len, best_dist
+    p = jnp.zeros((n,), jnp.int32).at[spos].set(pack)
+    return jnp.maximum(best_pack, p)
+
+
+def _unpack_best(best_pack):
+    """(mlen, mdist) from the packed best; 0 length -> 0 distance."""
+    mlen = best_pack >> 15
+    mdist = jnp.int32(WINDOW_SIZE) - (best_pack & (WINDOW_SIZE - 1))
+    mdist = jnp.where(mlen > 0, mdist, 0)
+    return mlen, mdist
 
 
 def _lcp_words(aw: list[jax.Array], bw: list[jax.Array]) -> jax.Array:
@@ -118,15 +128,15 @@ def _lcp_words(aw: list[jax.Array], bw: list[jax.Array]) -> jax.Array:
     return lcp
 
 
-def _scan_order(sw, spos, srank, window_start, best_len, best_dist,
+def _scan_order(sw, spos, srank, window_start, best_pack,
                 k_each, lcp_cap, n, backward_only=False):
     """Score K neighbors (both directions) of one sorted suffix order.
 
     A previous occurrence with a long common prefix may sit on either
     side in sort order, so scan both ways. LCP(i, i±k) is the running
     min of adjacent LCPs (valid in any order by the ultrametric
-    inequality) — all rolls, no gathers. Returns merged per-position
-    bests plus this order's adjacent-LCP array (sort space).
+    inequality) — all rolls, no gathers. Returns the merged packed
+    per-position bests plus this order's adjacent-LCP array (sort space).
     """
     adj = _lcp_words([jnp.roll(v, 1) for v in sw], sw)
     adj = adj.at[0].set(0)
@@ -140,8 +150,7 @@ def _scan_order(sw, spos, srank, window_start, best_len, best_dist,
             adj, spos, window_start, k_each, lcp_cap=lcp_cap,
             backward_only=backward_only,
         )
-        bl, bd = _merge(best_len, best_dist, s_len, s_dist, spos, n)
-        return bl, bd, adj
+        return _merge(best_pack, s_len, s_dist, spos, n), adj
 
     s_len = jnp.zeros((n,), jnp.int32)
     s_dist = jnp.zeros((n,), jnp.int32)
@@ -184,8 +193,7 @@ def _scan_order(sw, spos, srank, window_start, best_len, best_dist,
         )
         s_len, s_dist = consider(s_len, s_dist, fwd_min, dist, ok)
 
-    bl, bd = _merge(best_len, best_dist, s_len, s_dist, spos, n)
-    return bl, bd, adj
+    return _merge(best_pack, s_len, s_dist, spos, n), adj
 
 
 @functools.partial(jax.jit, static_argnames=("candidates", "key_words"))
@@ -222,8 +230,7 @@ def find_matches(
     w = _pack_words(data, key_words)
     srank = jnp.arange(n, dtype=jnp.int32)
 
-    best_len = jnp.zeros((n,), jnp.int32)
-    best_dist = jnp.zeros((n,), jnp.int32)
+    best_pack = jnp.zeros((n,), jnp.int32)
 
     # Order A — by the 4-byte leading word: the stable sort keeps equal
     # groups in position order, so backward neighbors are the MOST RECENT
@@ -242,9 +249,9 @@ def find_matches(
         sortedA = jax.lax.sort(
             tuple(w[:a_words]) + (pos,), num_keys=1, is_stable=True
         )
-        best_len, best_dist, _ = _scan_order(
+        best_pack, _ = _scan_order(
             list(sortedA[:a_words]), sortedA[a_words], srank, window_start,
-            best_len, best_dist, min(candidates, 8), 4 * a_words, n,
+            best_pack, min(candidates, 8), 4 * a_words, n,
             backward_only=True,
         )
 
@@ -256,13 +263,12 @@ def find_matches(
     )
     swB = list(sortedB[:key_words])
     sposB = sortedB[key_words]
-    best_len, best_dist, adjB = _scan_order(
-        swB, sposB, srank, window_start, best_len, best_dist,
+    best_pack, adjB = _scan_order(
+        swB, sposB, srank, window_start, best_pack,
         candidates, key_bytes, n,
     )
 
-    mlen = best_len
-    mdist = best_dist
+    mlen, mdist = _unpack_best(best_pack)
 
     # Dense ranks of key-block prefixes at 16/32/../key_bytes granularity
     # (equality of rank_L <=> exact equality of the leading L bytes), all
