@@ -94,13 +94,13 @@ def test_adversarial_zz_index_fields(seed):
     )
     parsed = containers.parse_gzip_index(out)
     assert parsed is not None
-    header_len, chunk_bytes, chunks = parsed
+    header_len, chunk_bytes, _t, chunks = parsed
     body = out[header_len:]
 
     # Rebuild the header with corrupted index entries.
     lies = []
-    for seg_bytes, blocks in chunks:
-        kind = int(rng.integers(0, 5))
+    for seg_bytes, blocks, anchors in chunks:
+        kind = int(rng.integers(0, 6))
         if kind == 0:
             seg_bytes = int(rng.integers(0, 1 << 31))
         new_blocks = []
@@ -112,7 +112,14 @@ def test_adversarial_zz_index_fields(seed):
             new_blocks.append((bit_off, out_off))
         if kind == 3 and new_blocks:
             new_blocks = new_blocks * int(rng.integers(2, 5))
-        lies.append((seg_bytes, new_blocks))
+        new_anchors = [
+            (
+                int(rng.integers(0, 1 << 31)) if kind == 5 else a,
+                int(rng.integers(0, 1 << 31)) if kind == 5 else o,
+            )
+            for a, o in anchors
+        ]
+        lies.append((seg_bytes, new_blocks, new_anchors))
     if int(rng.integers(0, 2)):
         chunk_bytes = int(rng.integers(0, 1 << 20))
     try:

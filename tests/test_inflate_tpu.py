@@ -103,16 +103,17 @@ def test_unindexed_returns_none():
 
 def test_index_parse_roundtrip():
     chunks = [
-        (100, [(0, 0), (370, 1000)]),
-        (200, [(0, 0)]),
-        (42, []),
+        (100, [(0, 0), (370, 1000)], [(95, 40), (180, 90)]),
+        (200, [(0, 0)], []),
+        (42, [], []),
     ]
     hdr = containers.gzip_header_indexed(CHUNK, chunks)
     parsed = containers.parse_gzip_index(hdr + b"\x00" * 8)
     assert parsed is not None
-    hdr_len, cb, got = parsed
+    hdr_len, cb, t, got = parsed
     assert hdr_len == len(hdr)
     assert cb == CHUNK
+    assert t == containers.ANCHOR_TOKENS
     assert got == chunks
 
 
@@ -154,12 +155,33 @@ def test_corrupted_index_block_count_no_crash():
                     indexed=True)
     )
     # ZZ subfield body starts at offset 16 (10B header + XLEN + sid + slen);
-    # the first chunk record's nblocks u16 sits at body offset 10+4.
+    # the first chunk record's nblocks u16 sits at body offset 12+4
+    # (v3 header: ver, flags, chunk_bytes, nchunks, anchor_tokens).
     body_off = 16
-    nb_off = body_off + 10 + 4
+    nb_off = body_off + 12 + 4
     blob[nb_off : nb_off + 2] = (0xFFFF).to_bytes(2, "little")
     parsed = containers.parse_gzip_index(bytes(blob))
     assert parsed is None
     # decompress with engine='tpu' falls back to native; the stream body
     # is intact so it still decodes (FEXTRA content is not CRC-protected).
     assert zf.decompress(bytes(blob), format="gzip", engine="tpu") == data
+
+
+def test_anchor_walk_long_blocks():
+    # Literal-heavy data -> far more than ANCHOR_TOKENS tokens per
+    # 64 KiB sub-block, so the v3 anchors (every ANCHOR_TOKENS-th
+    # committed token) are load-bearing for the walk decoder, including
+    # across merged sub-blocks and chunk halos.
+    rng = np.random.default_rng(5)
+    data = rng.integers(0, 16, size=400_000, dtype=np.uint8).tobytes()
+    out = zf.compress(
+        data, level=6, format="gzip", chunk_bytes=1 << 17, indexed=True
+    )
+    parsed = containers.parse_gzip_index(out)
+    assert parsed is not None
+    _hl, _cb, anchor_tokens, chunks = parsed
+    assert anchor_tokens == containers.ANCHOR_TOKENS
+    assert any(anchors for _s, _b, anchors in chunks)
+    assert inflate_tpu.decompress_indexed(out) == data
+    arr, n = inflate_tpu.decompress_indexed(out, to_device=True)
+    assert n == len(data) and bytes(np.asarray(arr)) == data

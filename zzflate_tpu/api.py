@@ -317,6 +317,7 @@ def _encode_segments(
 
     segments: list[bytes] = []
     blocks: list[list[tuple[int, int]]] = []
+    anchors: list[list[tuple[int, int]]] = []
     adlers: list[int] | None = [] if with_checksums else None
     crcs: list[int] | None = [] if with_checksums else None
 
@@ -329,6 +330,8 @@ def _encode_segments(
             nbits_np = np.asarray(res["nbits"])
             sb_bits_np = np.asarray(res["sb_bits"])
             sb_out_np = np.asarray(res["sb_out"])
+            anc_bit_np = np.asarray(res["anc_bit"])
+            anc_out_np = np.asarray(res["anc_out"])
             max_used = min(
                 out_words, int((nbits_np.max() + 3 + 31) // 32) + 1
             )
@@ -345,6 +348,7 @@ def _encode_segments(
                     (words_np[j].tobytes()[: (nbits + 7) // 8], nbits)
                 )
                 blocks.append([])
+                anchors.append([])
                 continue
             if final:
                 seg = words_np[j].tobytes()[: (nbits + 7) // 8]
@@ -367,6 +371,23 @@ def _encode_segments(
                 (int(sb_bits_np[j][g[0]]), int(sb_out_np[j][g[0]]))
                 for g in plans[j]["groups"]
             ])
+            # v3 anchors: interior sub-blocks of merged groups (their
+            # first field IS their first token — interior headers are
+            # zero-width) plus the emit phase's every-T-tokens slots.
+            anc = [
+                (int(sb_bits_np[j][b]), int(sb_out_np[j][b]))
+                for g in plans[j]["groups"]
+                for b in g[1:]
+            ]
+            valid = anc_bit_np[j] >= 0
+            anc += [
+                (int(bb), int(oo))
+                for bb, oo in zip(
+                    anc_bit_np[j][valid], anc_out_np[j][valid]
+                )
+            ]
+            anc.sort()
+            anchors.append(anc)
 
     # Windowed two-stage pipeline: analysis for batch i+1 is in flight on
     # device while batch i's tables are built and its emit graph queued,
@@ -390,7 +411,7 @@ def _encode_segments(
         finish(*e_q.popleft())
 
     return {
-        "segments": segments, "blocks": blocks,
+        "segments": segments, "blocks": blocks, "anchors": anchors,
         "adler": adlers, "crc": crcs,
     }
 
@@ -454,7 +475,13 @@ def compress(
     if indexed and segments is not None:
         hdr = containers.gzip_header_indexed(
             chunk_bytes,
-            list(zip((len(s) for s in segments), enc["blocks"])),
+            list(
+                zip(
+                    (len(s) for s in segments),
+                    enc["blocks"],
+                    enc["anchors"],
+                )
+            ),
         )
     else:
         hdr = containers.gzip_header()

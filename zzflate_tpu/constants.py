@@ -14,6 +14,12 @@ MIN_MATCH = 3
 MAX_MATCH = 258
 WINDOW_SIZE = 32768
 
+# 'ZZ' index v3 anchor spacing: the encoder records the (bit, output)
+# position of every ANCHOR_TOKENS-th committed token inside a block, so
+# the TPU decoder can walk every token interval in parallel with a
+# static per-lane step bound (models/inflate_tpu.py).
+ANCHOR_TOKENS = 1024
+
 # Literal/length alphabet: 0..255 literals, 256 end-of-block, 257..285 lengths.
 NUM_LITLEN_SYMBOLS = 288  # 286 used + 2 reserved
 NUM_DIST_SYMBOLS = 30  # 30 used (32 with reserved)

@@ -381,6 +381,14 @@ HDR_SLOTS = 672  # 5 fixed fields + 19 CL lengths + 2*316 RLE fields + pad
 SUB_BLOCK = 1 << 16
 _WIN = 32768
 
+# v3 index anchors: one slot per ANCHOR_TOKENS committed tokens of each
+# sub-block (a sub-block of 65536 positions holds at most 64 intervals).
+_A_PB = SUB_BLOCK // C.ANCHOR_TOKENS
+
+
+def anchor_slots(chunk_bytes: int) -> int:
+    return sub_block_count(chunk_bytes) * _A_PB
+
 
 def sub_block_count(chunk_bytes: int) -> int:
     return max(1, chunk_bytes // SUB_BLOCK)
@@ -636,15 +644,38 @@ def _emit_impl(
     outlen = jnp.where(
         is_match, mlen, jnp.where(committed, 1, 0)
     ).astype(jnp.int32)
-    sb_out = jnp.stack([
-        jnp.sum(jnp.where(pos < bounds[b], outlen, 0)) for b in range(sb)
-    ])
+    out_excl = jnp.cumsum(outlen) - outlen
+    sb_out = jnp.stack([out_excl[bounds[b]] for b in range(sb)])
+
+    # v3 index anchors: the (bit, output) position of every
+    # ANCHOR_TOKENS-th committed token WITHIN its sub-block, so the TPU
+    # decoder's per-lane token walk has a static step bound. Slots are
+    # -1 when a sub-block has fewer tokens (the host keeps valid ones).
+    ctok = jnp.cumsum(committed.astype(jnp.int32)) - committed
+    csub = jnp.zeros((), jnp.int32)
+    for b in range(sb):
+        csub = jnp.where(pos >= bounds[b], ctok[bounds[b]], csub)
+    o_b = ctok - csub
+    t_anchor = C.ANCHOR_TOKENS
+    is_anchor = committed & (o_b > 0) & (o_b % t_anchor == 0)
+    a_total = sb * _A_PB
+    slot = jnp.where(
+        is_anchor, tb * _A_PB + (o_b // t_anchor - 1), a_total
+    )
+    anc_bit = jnp.full((a_total,), -1, jnp.int32).at[slot].set(
+        off0, mode="drop"
+    )
+    anc_out = jnp.full((a_total,), -1, jnp.int32).at[slot].set(
+        out_excl, mode="drop"
+    )
     return {
         "words": words,
         "nbits": total_bits,
         "ntokens": jnp.sum(committed.astype(jnp.int32)),
         "sb_bits": sb_bits,  # bit offset of each sub-block's first field
         "sb_out": sb_out,    # output offset of each sub-block's tokens
+        "anc_bit": anc_bit,  # v3 anchors: token bit offsets (-1 = unused)
+        "anc_out": anc_out,  # v3 anchors: token output offsets
     }
 
 

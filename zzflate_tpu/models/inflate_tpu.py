@@ -167,15 +167,19 @@ class _Unit:
 def _plan_units(body: bytes, chunks, out_starts, out_sizes):
     """Host walk: per indexed block, parse its header into canonical
     descriptors; stored segments are collected as (offsets, bytes).
-    Offsets (bit and output) are relative to the given body/out space."""
+    Offsets (bit and output) are relative to the given body/out space.
+    unit_ranges[i] is the [lo, hi) slice of `units` from chunk i
+    (empty for stored-fallback chunks)."""
     units = []
     stored_idx: list[np.ndarray] = []
     stored_val: list[np.ndarray] = []
+    unit_ranges: list[tuple[int, int]] = []
     pos = 0
-    for i, (sz, blocks) in enumerate(chunks):
+    for i, (sz, blocks, _anchors) in enumerate(chunks):
         seg = body[pos : pos + sz]
         seg_bit0 = pos * 8
         pos += sz
+        ulo = len(units)
         br = BitReader(seg, 0)
         br.bits(1)
         if br.bits(2) == 0:
@@ -184,6 +188,7 @@ def _plan_units(body: bytes, chunks, out_starts, out_sizes):
                 np.arange(out_starts[i], out_starts[i] + len(raw), dtype=np.int64)
             )
             stored_val.append(np.frombuffer(raw, np.uint8))
+            unit_ranges.append((ulo, ulo))
             continue
         for bit_off, out_off in blocks:
             b = BitReader(seg, bit_off)
@@ -203,7 +208,8 @@ def _plan_units(body: bytes, chunks, out_starts, out_sizes):
                     _canon_desc(dd, _MAX_D),
                 )
             )
-    return units, stored_idx, stored_val
+        unit_ranges.append((ulo, len(units)))
+    return units, stored_idx, stored_val, unit_ranges
 
 
 def _stored_bytes(seg: bytes, out_bytes: int) -> bytes:
@@ -311,7 +317,7 @@ def _decode_bits(win_lo, win_hi, uid, ll_lut, d_lut):
     step = jnp.where(invalid | iseob, _HUGE, width)
     islit = valid & ~iseob & ~islen
     outlen = jnp.where(islit, 1, jnp.where(islen & ~invalid, mlen, 0))
-    return step, outlen, sym, mdist, islit, islen & ~invalid
+    return step, outlen, sym, mdist, islit, islen & ~invalid, iseob & valid
 
 
 def _commit_walk(step, start_bits, unit_valid, max_sup_span):
@@ -447,7 +453,7 @@ def _decode_all(
     ].max(jnp.arange(u, dtype=jnp.int32), mode="drop")
     uid = jax.lax.associative_scan(jnp.maximum, uid0)
 
-    step, outlen, sym, mdist, islit, islen = _decode_bits(
+    step, outlen, sym, mdist, islit, islen, _eob = _decode_bits(
         win_lo, win_hi, uid, ll_lut, d_lut
     )
 
@@ -462,6 +468,24 @@ def _decode_all(
 
     com_tok = committed & (islit | islen)
     tgt = jnp.where(com_tok, off, n_out_pad)
+    litval, start_mark, dist_at = _stage_out(
+        prefix, stored_idx, stored_val, n_out_pad, n_stored
+    )
+    litval = litval.at[tgt].max(
+        jnp.where(islit, sym, 0), mode="drop"
+    )
+    start_mark = start_mark.at[tgt].max(
+        jnp.where(com_tok, off, -1), mode="drop"
+    )
+    dist_at = dist_at.at[tgt].max(
+        jnp.where(islen, mdist, 0), mode="drop"
+    )
+    return _resolve_lz(litval, start_mark, dist_at, n_out_pad)
+
+
+def _stage_out(prefix, stored_idx, stored_val, n_out_pad, n_stored):
+    """Initial output-space arrays: the 32 KiB resolved prefix occupies
+    [0, _W) as self-resolved literals; stored bytes scatter likewise."""
     litval = jnp.concatenate(
         [prefix.astype(jnp.int32), jnp.zeros((n_out_pad - _W,), jnp.int32)]
     )
@@ -479,20 +503,14 @@ def _decode_all(
         start_mark = start_mark.at[stored_idx].max(
             stored_idx.astype(jnp.int32), mode="drop"
         )
-    litval = litval.at[tgt].max(
-        jnp.where(islit, sym, 0), mode="drop"
-    )
-    start_mark = start_mark.at[tgt].max(
-        jnp.where(com_tok, off, -1), mode="drop"
-    )
-    dist_at = dist_at.at[tgt].max(
-        jnp.where(islen, mdist, 0), mode="drop"
-    )
+    return litval, start_mark, dist_at
 
-    # LZ resolve: covering token via segmented cummax, then pointer
-    # doubling over parent = i - dist with a convergence test (typical
-    # chains are shallow; all-zeros worst case still converges in
-    # log2(n) rounds).
+
+def _resolve_lz(litval, start_mark, dist_at, n_out_pad):
+    """LZ resolve: covering token via segmented cummax, then pointer
+    doubling over parent = i - dist with a convergence test (typical
+    chains are shallow; all-zeros worst case still converges in
+    log2(n) rounds)."""
     idx = jnp.arange(n_out_pad, dtype=jnp.int32)
     seg = jax.lax.associative_scan(jnp.maximum, start_mark)
     dist = dist_at[jnp.clip(seg, 0, n_out_pad - 1)]
@@ -512,6 +530,81 @@ def _decode_all(
         cond, body, (parent, jnp.bool_(True), jnp.int32(0))
     )
     return litval[parent].astype(jnp.uint8)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_out_pad", "n_stored", "t_steps"),
+)
+def _walk_all(
+    words, ll_first, ll_cnt, ll_off, ll_sym, d_first, d_cnt, d_off, d_sym,
+    lane_bit, lane_out, lane_uid, lane_valid, prefix, stored_idx,
+    stored_val, n_out_pad, n_stored, t_steps,
+):
+    """Anchor-walk decode (v3 indexed streams): every lane decodes up to
+    t_steps tokens serially from a known token-aligned bit position (a
+    block start or an every-ANCHOR_TOKENS anchor the encoder recorded).
+
+    Each lane-step costs 3 word gathers + 2 LUT gathers + 3 scatters of
+    LANE-count elements, versus the per-bit path's 2 LUT gathers per
+    body BIT plus ~1000-step commit sweeps — ~8x less gather traffic
+    and no sweeps, because the index already says where tokens start.
+    Lanes may deterministically re-walk the head of the next interval
+    (identical scatters, so overlap is harmless) and deactivate at EOB
+    or on invalid windows (corruption then surfaces as a CRC mismatch).
+    """
+    ll_lut = _build_luts(
+        ll_first, ll_cnt, ll_off, ll_sym, jnp.asarray(_ll_attr()),
+        _MAX_LL, 10,
+    )
+    d_lut = _build_luts(
+        d_first, d_cnt, d_off, d_sym, jnp.asarray(_d_attr()), _MAX_D, 5
+    )
+    litval, start_mark, dist_at = _stage_out(
+        prefix, stored_idx, stored_val, n_out_pad, n_stored
+    )
+    nw = words.shape[0]
+    uid = jnp.clip(lane_uid, 0, ll_first.shape[0] - 1)
+
+    def step(t, state):
+        litval, start_mark, dist_at, p, o, active = state
+        wi = jnp.clip(p >> 5, 0, nw - 3)
+        s = (p & 31).astype(jnp.uint32)
+        w0 = words[wi]
+        w1 = words[wi + 1]
+        w2 = words[wi + 2]
+        inv = jnp.uint32(31) - s
+        lo = (w0 >> s) | ((w1 << inv) << jnp.uint32(1))
+        hi = (w1 >> s) | ((w2 << inv) << jnp.uint32(1))
+        stepw, outlen, sym, mdist, islit, islen, _eob = _decode_bits(
+            lo, hi, uid, ll_lut, d_lut
+        )
+        emit = active & (islit | islen)
+        tgt = jnp.where(emit, o, n_out_pad)
+        litval = litval.at[tgt].max(
+            jnp.where(islit, sym, 0), mode="drop"
+        )
+        start_mark = start_mark.at[tgt].max(
+            jnp.where(emit, o, -1), mode="drop"
+        )
+        dist_at = dist_at.at[tgt].max(
+            jnp.where(islen, mdist, 0), mode="drop"
+        )
+        o = o + jnp.where(emit, outlen, 0)
+        ok = stepw <= 48  # EOB/invalid decode as _HUGE: lane is done
+        p = p + jnp.where(active & ok, stepw, 0)
+        return litval, start_mark, dist_at, p, o, active & ok
+
+    init = (
+        litval, start_mark, dist_at,
+        jnp.where(lane_valid, lane_bit, 0),
+        jnp.where(lane_valid, lane_out, n_out_pad),
+        lane_valid,
+    )
+    litval, start_mark, dist_at, _, _, _ = jax.lax.fori_loop(
+        0, t_steps, step, init
+    )
+    return _resolve_lz(litval, start_mark, dist_at, n_out_pad)
 
 
 def _pow2(n: int) -> int:
@@ -536,12 +629,12 @@ def decompress_indexed(
     parsed = containers.parse_gzip_index(data)
     if parsed is None:
         return None
-    header_len, chunk_bytes, chunks = parsed
+    header_len, chunk_bytes, anchor_tokens, chunks = parsed
     # The indexed member's extent comes from the index itself, not from
     # the end of the buffer: a valid stream may append further gzip
     # members after it (RFC 1952 multi-member). Trailing members are
     # decoded by the native path and concatenated.
-    member_len = header_len + sum(sz for sz, _ in chunks) + 8
+    member_len = header_len + sum(sz for sz, _b, _a in chunks) + 8
     if member_len > len(data):
         return None  # index inconsistent with buffer; fall back
     (crc_expect, isize) = struct.unpack(
@@ -557,16 +650,21 @@ def decompress_indexed(
         raise ValueError("ZZ index: implausible chunk_bytes")
     if isize > nchunks * chunk_bytes:
         raise ValueError("ZZ index: isize exceeds indexed chunk capacity")
-    for sz, blocks in chunks:
+    for sz, blocks, anchors in chunks:
         if sz > len(data) or len(blocks) > max(1, chunk_bytes // 1024):
             raise ValueError("ZZ index: implausible segment record")
-        for bit_off, out_off in blocks:
+        if len(anchors) > max(1, chunk_bytes // 64):
+            raise ValueError("ZZ index: implausible anchor count")
+        for bit_off, out_off in blocks + anchors:
             if bit_off >= 8 * max(sz, 1) or out_off > chunk_bytes:
                 raise ValueError("ZZ index: block offsets out of range")
+    # Anchor-walk decode requires the writer's spacing guarantee; an
+    # absurd T from a hostile index must not size a compile.
+    use_walk = 0 < anchor_tokens <= 4096
 
     if total_out > (1 << 30) or member_len - header_len - 8 > (1 << 30):
         return None  # host-memory sanity cap; native fallback
-    if any(sz > _GROUP_BODY for sz, _ in chunks):
+    if any(sz > _GROUP_BODY for sz, _b, _a in chunks):
         return None  # one chunk exceeds a device graph; native fallback
 
     out_sizes = [
@@ -582,7 +680,7 @@ def decompress_indexed(
     # more than one group exists).
     out_cap = max(_GROUP_OUT, chunk_bytes)
     cpos = [0]
-    for sz, _b in chunks:
+    for sz, _b, _a in chunks:
         cpos.append(cpos[-1] + sz)
     groups: list[tuple[int, int]] = []
     lo = 0
@@ -597,13 +695,16 @@ def decompress_indexed(
         groups.append((lo, nchunks))
 
     # Host walk of every group's block headers (tiny descriptors only).
+    import bisect
+
     plans = []
     max_units = 1
     max_stored = 0
+    max_lanes = 1
     try:
         for glo, ghi in groups:
             g_out_lo = out_starts[glo]
-            units, sidx, sval = _plan_units(
+            units, sidx, sval, uranges = _plan_units(
                 body[cpos[glo] : cpos[ghi]],
                 chunks[glo:ghi],
                 [_W + out_starts[i] - g_out_lo for i in range(glo, ghi)],
@@ -617,9 +718,32 @@ def decompress_indexed(
             sv = (
                 np.concatenate(sval) if sval else np.zeros(0, np.uint8)
             )
-            plans.append((glo, ghi, units, si, sv))
+            # Walk lanes: every block's first token + every index anchor
+            # (rebased into the group's flat bit/output spaces), each
+            # tagged with the unit whose tree decodes it.
+            lanes: list[tuple[int, int, int]] = []
+            if use_walk:
+                for ci in range(glo, ghi):
+                    ulo, uhi = uranges[ci - glo]
+                    if ulo == uhi:
+                        continue  # stored fallback: no token lanes
+                    for u in range(ulo, uhi):
+                        lanes.append(
+                            (units[u].bit, units[u].out_base, u)
+                        )
+                    seg_bit0 = (cpos[ci] - cpos[glo]) * 8
+                    outbase = _W + out_starts[ci] - g_out_lo
+                    ustarts = [units[u].bit for u in range(ulo, uhi)]
+                    for ab, ao in chunks[ci][2]:
+                        bit = seg_bit0 + ab
+                        k = bisect.bisect_right(ustarts, bit) - 1
+                        if k < 0:
+                            continue  # anchor before any token: bogus
+                        lanes.append((bit, outbase + ao, ulo + k))
+            plans.append((glo, ghi, units, si, sv, lanes))
             max_units = max(max_units, len(units))
             max_stored = max(max_stored, len(si))
+            max_lanes = max(max_lanes, len(lanes))
     except (IndexError, struct.error) as e:
         # Host header parsing ran off the segment: the index lied.
         raise ValueError(f"corrupt indexed segment: {e}") from e
@@ -639,17 +763,19 @@ def decompress_indexed(
     )
     n_out_pad = _pow2(_W + max(1, max_go))
     u_pad = _pow2(max_units)
-    max_seg_bits = max((sz * 8 for sz, _ in chunks), default=1)
+    max_seg_bits = max((sz * 8 for sz, _b, _a in chunks), default=1)
     max_sup_span = min(nbits // _RR, max_seg_bits // _RR + 2)
     n_stored = _pow2(max_stored) if max_stored else 0
     nw = nbits // 32 + 2
+    l_pad = _pow2(max_lanes)
+    t_steps = anchor_tokens + 2  # spacing + EOB + slack
 
     from zzflate_tpu.ops import checksums as cs
 
     prefix = jnp.zeros((_W,), jnp.uint8)
     group_out: list[tuple[jax.Array, int]] = []  # (device buf, out bytes)
     group_crc: list[jax.Array] = []
-    for glo, ghi, units, si0, sv0 in plans:
+    for glo, ghi, units, si0, sv0, lanes in plans:
         gbody = body[cpos[glo] : cpos[ghi]]
         go = (
             out_starts[ghi - 1] + out_sizes[ghi - 1] - out_starts[glo]
@@ -682,16 +808,38 @@ def decompress_indexed(
             si = np.zeros(1, np.int32)
             sv = np.zeros(1, np.uint8)
 
-        out_dev = _decode_all(
-            jnp.asarray(words), jnp.asarray(ll_first), jnp.asarray(ll_cnt),
-            jnp.asarray(ll_offs), jnp.asarray(ll_sym), jnp.asarray(d_first),
-            jnp.asarray(d_cnt), jnp.asarray(d_offs), jnp.asarray(d_sym),
-            jnp.asarray(start_bits), jnp.asarray(out_bases),
-            jnp.asarray(unit_valid), prefix,
-            jnp.asarray(si), jnp.asarray(sv),
-            nbits=nbits, n_out_pad=n_out_pad, max_sup_span=max_sup_span,
-            n_stored=n_stored,
+        luts = (
+            jnp.asarray(ll_first), jnp.asarray(ll_cnt),
+            jnp.asarray(ll_offs), jnp.asarray(ll_sym),
+            jnp.asarray(d_first), jnp.asarray(d_cnt),
+            jnp.asarray(d_offs), jnp.asarray(d_sym),
         )
+        if use_walk:
+            lane_bit = np.zeros(l_pad, np.int32)
+            lane_out = np.zeros(l_pad, np.int32)
+            lane_uid = np.zeros(l_pad, np.int32)
+            lane_valid = np.zeros(l_pad, bool)
+            for j, (lb, lo_, lu) in enumerate(lanes):
+                lane_bit[j] = lb
+                lane_out[j] = lo_
+                lane_uid[j] = lu
+                lane_valid[j] = True
+            out_dev = _walk_all(
+                jnp.asarray(words), *luts,
+                jnp.asarray(lane_bit), jnp.asarray(lane_out),
+                jnp.asarray(lane_uid), jnp.asarray(lane_valid), prefix,
+                jnp.asarray(si), jnp.asarray(sv),
+                n_out_pad=n_out_pad, n_stored=n_stored, t_steps=t_steps,
+            )
+        else:
+            out_dev = _decode_all(
+                jnp.asarray(words), *luts,
+                jnp.asarray(start_bits), jnp.asarray(out_bases),
+                jnp.asarray(unit_valid), prefix,
+                jnp.asarray(si), jnp.asarray(sv),
+                nbits=nbits, n_out_pad=n_out_pad,
+                max_sup_span=max_sup_span, n_stored=n_stored,
+            )
         group_out.append((out_dev, go))
         if verify:
             # Device-side CRC as its own dispatch over the padded buffer

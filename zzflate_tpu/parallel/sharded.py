@@ -105,7 +105,13 @@ def compress_sharded(
     if indexed and segments is not None:
         hdr = containers.gzip_header_indexed(
             chunk_bytes,
-            list(zip((len(s) for s in segments), res["blocks"])),
+            list(
+                zip(
+                    (len(s) for s in segments),
+                    res["blocks"],
+                    res["anchors"],
+                )
+            ),
         )
     else:
         hdr = containers.gzip_header()

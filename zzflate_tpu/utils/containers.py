@@ -48,20 +48,42 @@ def gzip_header() -> bytes:
 #   u8 version=2, u8 flags, u32 chunk_bytes, u32 nchunks,
 #   then per chunk: u32 seg_bytes, u16 nblocks,
 #                   nblocks x (u32 bit_off, u32 out_off)
-ZZ_INDEX_VERSION = 2
+from zzflate_tpu.constants import ANCHOR_TOKENS
+
+ZZ_INDEX_VERSION = 3
 
 
 def gzip_header_indexed(
-    chunk_bytes: int, chunks: list[tuple[int, list[tuple[int, int]]]]
+    chunk_bytes: int,
+    chunks: list[tuple[int, list[tuple[int, int]], list[tuple[int, int]]]],
 ) -> bytes:
-    """chunks: [(seg_bytes, [(bit_off, out_off), ...]), ...]."""
-    sub = bytearray(
-        struct.pack("<BBII", ZZ_INDEX_VERSION, 0, chunk_bytes, len(chunks))
-    )
-    for seg_bytes, blocks in chunks:
-        sub += struct.pack("<IH", seg_bytes, len(blocks))
-        for bit_off, out_off in blocks:
-            sub += struct.pack("<II", bit_off, out_off)
+    """chunks: [(seg_bytes, blocks, anchors), ...] where blocks and
+    anchors are [(bit_off, out_off), ...] relative to the segment.
+
+    v3 layout: ver(B) flags(B) chunk_bytes(I) nchunks(I) T(H), then per
+    chunk: seg_bytes(I) nb(H) na(H) + nb block pairs + na anchor pairs.
+    Anchors mark every T-th committed token inside a block so the TPU
+    decoder can walk all token intervals in parallel with a static
+    bound; they are dropped (na=0) if the index would not fit FEXTRA."""
+    def build(with_anchors: bool) -> bytearray:
+        sub = bytearray(
+            struct.pack(
+                "<BBIIH", ZZ_INDEX_VERSION, 0, chunk_bytes, len(chunks),
+                ANCHOR_TOKENS if with_anchors else 0,
+            )
+        )
+        for seg_bytes, blocks, anchors in chunks:
+            a = anchors if with_anchors else []
+            sub += struct.pack("<IHH", seg_bytes, len(blocks), len(a))
+            for bit_off, out_off in blocks:
+                sub += struct.pack("<II", bit_off, out_off)
+            for bit_off, out_off in a:
+                sub += struct.pack("<II", bit_off, out_off)
+        return sub
+
+    sub = build(True)
+    if len(sub) > 65535 - 4:
+        sub = build(False)  # anchors are an accelerator, not a contract
     if len(sub) > 65535 - 4:
         raise ValueError("too many chunks/blocks for an FEXTRA index")
     extra = b"ZZ" + struct.pack("<H", len(sub)) + bytes(sub)
@@ -74,9 +96,16 @@ def gzip_header_indexed(
 
 def parse_gzip_index(
     data: bytes,
-) -> tuple[int, int, list[tuple[int, list[tuple[int, int]]]]] | None:
-    """Returns (header_len, chunk_bytes, chunks) for a ZZ v2 subfield,
-    where chunks = [(seg_bytes, [(bit_off, out_off), ...]), ...]."""
+) -> (
+    tuple[
+        int, int, int,
+        list[tuple[int, list[tuple[int, int]], list[tuple[int, int]]]],
+    ]
+    | None
+):
+    """Returns (header_len, chunk_bytes, anchor_tokens, chunks) for a ZZ
+    v2/v3 subfield, chunks = [(seg_bytes, blocks, anchors), ...]. v2
+    streams parse with empty anchors and anchor_tokens=0."""
     if len(data) < 10 or data[:2] != b"\x1f\x8b" or not (data[3] & 0x04):
         return None
     xlen = struct.unpack("<H", data[10:12])[0]
@@ -89,29 +118,51 @@ def parse_gzip_index(
         body = extra[pos + 4 : pos + 4 + slen]
         if sid == b"ZZ" and len(body) >= 10:
             ver, _flags, chunk_bytes, n = struct.unpack("<BBII", body[:10])
-            if ver == ZZ_INDEX_VERSION:
-                chunks = []
+            if ver in (2, 3):
                 p = 10
+                anchor_tokens = 0
+                if ver == 3:
+                    if len(body) < 12:
+                        pos += 4 + slen
+                        continue
+                    (anchor_tokens,) = struct.unpack("<H", body[10:12])
+                    p = 12
+                chunks = []
                 ok = True
                 for _ in range(n):
-                    if p + 6 > len(body):
+                    rec = 6 if ver == 2 else 8
+                    if p + rec > len(body):
                         ok = False
                         break
-                    seg_bytes, nb = struct.unpack("<IH", body[p : p + 6])
-                    p += 6
-                    if p + 8 * nb > len(body):
+                    if ver == 2:
+                        seg_bytes, nb = struct.unpack(
+                            "<IH", body[p : p + 6]
+                        )
+                        na = 0
+                        p += 6
+                    else:
+                        seg_bytes, nb, na = struct.unpack(
+                            "<IHH", body[p : p + 8]
+                        )
+                        p += 8
+                    if p + 8 * (nb + na) > len(body):
                         ok = False
                         break
                     blocks = []
                     for _ in range(nb):
-                        bit_off, out_off = struct.unpack(
-                            "<II", body[p : p + 8]
+                        blocks.append(
+                            struct.unpack("<II", body[p : p + 8])
                         )
-                        blocks.append((bit_off, out_off))
                         p += 8
-                    chunks.append((seg_bytes, blocks))
+                    anchors = []
+                    for _ in range(na):
+                        anchors.append(
+                            struct.unpack("<II", body[p : p + 8])
+                        )
+                        p += 8
+                    chunks.append((seg_bytes, blocks, anchors))
                 if ok:
-                    return header_len, chunk_bytes, chunks
+                    return header_len, chunk_bytes, anchor_tokens, chunks
         pos += 4 + slen
     return None
 
