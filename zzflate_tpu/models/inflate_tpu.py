@@ -508,13 +508,22 @@ def _stage_out(prefix, stored_idx, stored_val, n_out_pad, n_stored):
 
 def _resolve_lz(litval, start_mark, dist_at, n_out_pad):
     """LZ resolve: covering token via segmented cummax, then pointer
-    doubling over parent = i - dist with a convergence test (typical
-    chains are shallow; all-zeros worst case still converges in
-    log2(n) rounds)."""
+    doubling with a convergence test.
+
+    The first hop is the closed-form in-token source: a match starting
+    at s with distance d repeats its source with period d, so position
+    i's ultimate within-token source is s - d + ((i - s) mod d) — one
+    hop that always lands strictly BEFORE the token start. Overlapped
+    copies (dist < len, e.g. a 4 MiB zero run whose byte chain is
+    i -> i-1 -> ...) therefore collapse to depth 1 instead of needing
+    log2(run) full-width gather rounds; remaining chains are nested
+    tokens, which real streams keep shallow."""
     idx = jnp.arange(n_out_pad, dtype=jnp.int32)
     seg = jax.lax.associative_scan(jnp.maximum, start_mark)
     dist = dist_at[jnp.clip(seg, 0, n_out_pad - 1)]
-    parent = jnp.where((dist > 0) & (seg >= 0), idx - dist, idx)
+    d1 = jnp.maximum(dist, 1)
+    src = seg - d1 + (idx - seg) % d1
+    parent = jnp.where((dist > 0) & (seg >= 0), src, idx)
     parent = jnp.clip(parent, 0, n_out_pad - 1)
 
     def cond(state):
