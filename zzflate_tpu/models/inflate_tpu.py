@@ -543,12 +543,12 @@ def _resolve_lz(litval, start_mark, dist_at, n_out_pad):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_out_pad", "n_stored", "t_steps"),
+    static_argnames=("n_out_pad", "n_stored", "t_steps", "with_crc"),
 )
 def _walk_all(
     words, ll_first, ll_cnt, ll_off, ll_sym, d_first, d_cnt, d_off, d_sym,
     lane_bit, lane_out, lane_uid, lane_valid, prefix, stored_idx,
-    stored_val, n_out_pad, n_stored, t_steps,
+    stored_val, crc_len, n_out_pad, n_stored, t_steps, with_crc,
 ):
     """Anchor-walk decode (v3 indexed streams): every lane decodes up to
     t_steps tokens serially from a known token-aligned bit position (a
@@ -613,7 +613,15 @@ def _walk_all(
     litval, start_mark, dist_at, _, _, _ = jax.lax.fori_loop(
         0, t_steps, step, init
     )
-    return _resolve_lz(litval, start_mark, dist_at, n_out_pad)
+    out = _resolve_lz(litval, start_mark, dist_at, n_out_pad)
+    if not with_crc:
+        return out, jnp.uint32(0)
+    # CRC of [_W, crc_len) fused into the same dispatch: the walk graph
+    # is light enough to carry the tree-combine unroll (unlike the
+    # per-bit graph, whose compile the extra unroll overloads).
+    from zzflate_tpu.ops import checksums as cs
+
+    return out, cs._crc32_impl(out, crc_len, jnp.int32(_W))
 
 
 def _pow2(n: int) -> int:
@@ -833,13 +841,17 @@ def decompress_indexed(
                 lane_out[j] = lo_
                 lane_uid[j] = lu
                 lane_valid[j] = True
-            out_dev = _walk_all(
+            out_dev, crc_dev = _walk_all(
                 jnp.asarray(words), *luts,
                 jnp.asarray(lane_bit), jnp.asarray(lane_out),
                 jnp.asarray(lane_uid), jnp.asarray(lane_valid), prefix,
                 jnp.asarray(si), jnp.asarray(sv),
+                jnp.asarray(_W + go, jnp.int32),
                 n_out_pad=n_out_pad, n_stored=n_stored, t_steps=t_steps,
+                with_crc=verify,
             )
+            if verify:
+                group_crc.append(crc_dev)
         else:
             out_dev = _decode_all(
                 jnp.asarray(words), *luts,
@@ -850,11 +862,12 @@ def decompress_indexed(
                 max_sup_span=max_sup_span, n_stored=n_stored,
             )
         group_out.append((out_dev, go))
-        if verify:
+        if verify and not use_walk:
             # Device-side CRC as its own dispatch over the padded buffer
             # (fixed shape -> one compiled graph for every group; fusing
-            # the tree-combine unroll into the decode graph overloads the
-            # platform's compile helper at large sizes).
+            # the tree-combine unroll into the PER-BIT decode graph
+            # overloads the platform's compile helper at large sizes —
+            # the walk graph carries it fused instead).
             group_crc.append(
                 cs._crc32_impl(
                     out_dev,
