@@ -681,8 +681,6 @@ def decompress_indexed(
 
     if total_out > (1 << 30) or member_len - header_len - 8 > (1 << 30):
         return None  # host-memory sanity cap; native fallback
-    if any(sz > _GROUP_BODY for sz, _b, _a in chunks):
-        return None  # one chunk exceeds a device graph; native fallback
 
     out_sizes = [
         min(chunk_bytes, max(0, total_out - i * chunk_bytes))
@@ -693,9 +691,18 @@ def decompress_indexed(
 
     # Partition chunks into groups: each group's compressed body and
     # decoded output fit one device graph, and every non-final group
-    # shares the SAME compiled shape (nbits fixed at _GROUP_BITS when
-    # more than one group exists).
-    out_cap = max(_GROUP_OUT, chunk_bytes)
+    # shares the SAME compiled shape. The walk path only GATHERS from
+    # the words buffer (no per-bit arrays), so its groups are bounded
+    # by output size alone — sized so the padded output stays at 2^22;
+    # the per-bit path is compile-bound at _GROUP_BITS of body.
+    if use_walk:
+        body_cap = 4 << 20
+        out_cap = max((4 << 20) - _W, chunk_bytes)
+    else:
+        body_cap = _GROUP_BODY
+        out_cap = max(_GROUP_OUT, chunk_bytes)
+    if any(sz > body_cap for sz, _b, _a in chunks):
+        return None  # one chunk exceeds a device graph; native fallback
     cpos = [0]
     for sz, _b, _a in chunks:
         cpos.append(cpos[-1] + sz)
@@ -703,7 +710,7 @@ def decompress_indexed(
     lo = 0
     for i in range(nchunks):
         if (
-            cpos[i + 1] - cpos[lo] > _GROUP_BODY
+            cpos[i + 1] - cpos[lo] > body_cap
             or (i + 1 - lo) * chunk_bytes > out_cap
         ) and i > lo:
             groups.append((lo, i))
@@ -783,7 +790,10 @@ def decompress_indexed(
     max_seg_bits = max((sz * 8 for sz, _b, _a in chunks), default=1)
     max_sup_span = min(nbits // _RR, max_seg_bits // _RR + 2)
     n_stored = _pow2(max_stored) if max_stored else 0
-    nw = nbits // 32 + 2
+    if use_walk:
+        nw = (body_cap if multi else _pow2(max(64, max_body))) // 4 + 2
+    else:
+        nw = nbits // 32 + 2
     l_pad = _pow2(max_lanes)
     t_steps = anchor_tokens + 2  # spacing + EOB + slack
 
