@@ -88,6 +88,7 @@ def _encode_segments(
     with_checksums: bool = False,
     single_block_chunks: bool = False,
     frame: bool = True,
+    with_anchors: bool = False,
 ) -> dict:
     """Deflate payload as byte-aligned per-chunk segments (sync-flush framed).
 
@@ -309,6 +310,7 @@ def _encode_segments(
                 stack("hdr_nbits", np.int32),
                 stack("eob_v", np.uint32),
                 stack("eob_nb", np.int32),
+                with_anchors=with_anchors,
             )
         cks = (
             (ana["adler"], ana["crc"]) if with_checksums else None
@@ -449,7 +451,9 @@ def compress(
     if level == 0:
         payload = containers.stored_segment(data, final=True)
     else:
-        enc = _encode_segments(data, config, dictionary)
+        enc = _encode_segments(
+            data, config, dictionary, with_anchors=indexed
+        )
         segments = enc["segments"]
         payload = b"".join(segments)
         # Whole-stream stored fallback: per-chunk sync-flush framing adds

@@ -534,7 +534,7 @@ def analyze_chunks_batch(data, starts, valid_ends, window_starts, params,
 def _emit_impl(
     committed, is_match, litlen_sym, lcode, dcode, mlen, mdist,
     ll_len, ll_code, d_len, d_code, hdr_vals, hdr_nbits, eob_v, eob_nb,
-    out_words=None,
+    out_words=None, with_anchors=False,
 ):
     """Phase 2: pack the phase-1 token arrays with host-built tables.
 
@@ -651,23 +651,29 @@ def _emit_impl(
     # ANCHOR_TOKENS-th committed token WITHIN its sub-block, so the TPU
     # decoder's per-lane token walk has a static step bound. Slots are
     # -1 when a sub-block has fewer tokens (the host keeps valid ones).
-    ctok = jnp.cumsum(committed.astype(jnp.int32)) - committed
-    csub = jnp.zeros((), jnp.int32)
-    for b in range(sb):
-        csub = jnp.where(pos >= bounds[b], ctok[bounds[b]], csub)
-    o_b = ctok - csub
-    t_anchor = C.ANCHOR_TOKENS
-    is_anchor = committed & (o_b > 0) & (o_b % t_anchor == 0)
+    # Skipped (two full-width scatters + a cumsum) unless the caller is
+    # building an indexed stream.
     a_total = sb * _A_PB
-    slot = jnp.where(
-        is_anchor, tb * _A_PB + (o_b // t_anchor - 1), a_total
-    )
-    anc_bit = jnp.full((a_total,), -1, jnp.int32).at[slot].set(
-        off0, mode="drop"
-    )
-    anc_out = jnp.full((a_total,), -1, jnp.int32).at[slot].set(
-        out_excl, mode="drop"
-    )
+    if with_anchors:
+        ctok = jnp.cumsum(committed.astype(jnp.int32)) - committed
+        csub = jnp.zeros((), jnp.int32)
+        for b in range(sb):
+            csub = jnp.where(pos >= bounds[b], ctok[bounds[b]], csub)
+        o_b = ctok - csub
+        t_anchor = C.ANCHOR_TOKENS
+        is_anchor = committed & (o_b > 0) & (o_b % t_anchor == 0)
+        slot = jnp.where(
+            is_anchor, tb * _A_PB + (o_b // t_anchor - 1), a_total
+        )
+        anc_bit = jnp.full((a_total,), -1, jnp.int32).at[slot].set(
+            off0, mode="drop"
+        )
+        anc_out = jnp.full((a_total,), -1, jnp.int32).at[slot].set(
+            out_excl, mode="drop"
+        )
+    else:
+        anc_bit = jnp.full((a_total,), -1, jnp.int32)
+        anc_out = jnp.full((a_total,), -1, jnp.int32)
     return {
         "words": words,
         "nbits": total_bits,
@@ -679,13 +685,18 @@ def _emit_impl(
     }
 
 
-@functools.partial(jax.jit, static_argnames=("out_words",))
+@functools.partial(
+    jax.jit, static_argnames=("out_words", "with_anchors")
+)
 def emit_chunks_batch(
     analysis, out_words,
     ll_len, ll_code, d_len, d_code, hdr_vals, hdr_nbits, eob_v, eob_nb,
+    with_anchors=False,
 ):
     """Phase 2, batched: consumes the phase-1 output dict directly."""
-    fn = functools.partial(_emit_impl, out_words=out_words)
+    fn = functools.partial(
+        _emit_impl, out_words=out_words, with_anchors=with_anchors
+    )
     return jax.vmap(fn)(
         analysis["committed"], analysis["is_match"], analysis["litlen_sym"],
         analysis["lcode"], analysis["dcode"], analysis["mlen"],

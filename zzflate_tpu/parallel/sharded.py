@@ -76,6 +76,7 @@ def compress_sharded(
     else:
         res = _encode_segments(
             data, config, dictionary, mesh=mesh, with_checksums=True,
+            with_anchors=indexed,
         )
         segments = res["segments"]
         payload = b"".join(segments)
