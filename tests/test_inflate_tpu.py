@@ -185,3 +185,29 @@ def test_anchor_walk_long_blocks():
     assert inflate_tpu.decompress_indexed(out) == data
     arr, n = inflate_tpu.decompress_indexed(out, to_device=True)
     assert n == len(data) and bytes(np.asarray(arr)) == data
+
+
+def test_v2_index_back_compat():
+    # Legacy v2 'ZZ' subfields (no anchors, no T field) must still parse
+    # and decode through the per-bit speculative path.
+    import struct
+
+    data = (b"v2 back compat payload " * 3000)[:60000]
+    out = zf.compress(data, level=6, format="gzip", chunk_bytes=CHUNK,
+                      indexed=True)
+    parsed = containers.parse_gzip_index(out)
+    assert parsed is not None
+    header_len, cb, _t, chunks = parsed
+    # Rebuild the FEXTRA as a v2 subfield over the same body.
+    sub = bytearray(struct.pack("<BBII", 2, 0, cb, len(chunks)))
+    for seg_bytes, blocks, _anchors in chunks:
+        sub += struct.pack("<IH", seg_bytes, len(blocks))
+        for bit_off, out_off in blocks:
+            sub += struct.pack("<II", bit_off, out_off)
+    extra = b"ZZ" + struct.pack("<H", len(sub)) + bytes(sub)
+    hdr = (b"\x1f\x8b\x08\x04\x00\x00\x00\x00\x00\xff"
+           + struct.pack("<H", len(extra)) + extra)
+    blob = hdr + out[header_len:]
+    p2 = containers.parse_gzip_index(blob)
+    assert p2 is not None and p2[2] == 0  # anchor_tokens == 0 -> per-bit
+    assert inflate_tpu.decompress_indexed(blob) == data
