@@ -1,39 +1,44 @@
 """TPU-parallel inflate for indexed gzip streams (SURVEY.md C17/M4).
 
 DEFLATE decode is bit-serial: each symbol's width is unknown until the
-previous symbol is decoded. The TPU-native answer (cf. the parallel-
-decompression literature referenced in PAPERS.md, patterns only):
+previous symbol is decoded. Two TPU-native answers live here (cf. the
+parallel-decompression literature referenced in PAPERS.md, patterns
+only), selected by the stream's 'ZZ' FEXTRA index version:
 
-1. **Flat bit-space.** The whole compressed body lives in ONE device
-   buffer; every device pass is proportional to the *compressed* size
-   (no per-segment padding). The FEXTRA 'ZZ' index written by our
-   encoder (utils/containers.py) gives each block's absolute bit offset
-   and output offset, so all blocks decode as independent walks of the
-   same bit-space.
-2. **Speculative per-bit decode, 2 gathers/bit.** Bit windows for every
-   position are built with shift algebra (zero gathers); the litlen and
-   distance LUTs carry base+extra-bit metadata pre-packed, so a
-   candidate token at every bit costs one gather per LUT. LUTs are
-   built ON DEVICE from ~700-byte canonical descriptors (counts/first/
-   offsets/symbols) — the host never materialises 2^15-entry tables.
-3. **Hierarchical serial row sweeps** find the true token boundaries:
-   exit-of-row for every bit (one 256-step reverse sweep), then
-   exit-of-superrow (another 256-step sweep over rows), then per-block
-   walks chain superrows (<= ~34 steps), expand to row entries, and a
-   final 256-step sweep marks committed tokens. Total serial depth is
-   ~1000 tiny steps instead of 22 full-width gather/scatter doubling
-   rounds — the same trade the encoder's parse makes (ops/matcher.py).
-4. **Parallel LZ resolution.** Committed tokens scatter (start, dist)
-   spans into the output index space; a segmented cummax gives every
-   output byte its covering token; parent[i] = i - dist pointer
-   doubling (with a convergence test, so typical streams stop after a
-   few rounds) resolves all copies — overlapping (dist < len) and
-   cross-chunk (32 KiB halo) alike.
-5. **Device-resident output.** The decoded bytes stay on device; CRC-32
-   runs there too (ops/checksums.py) and only 4 bytes come back to
-   verify. `to_device=True` returns the device array — the TPU data-
-   loading path. Byte fetches happen in bounded slices (this box's
-   device->host path is latency-bound; see BASELINE.md).
+**Anchor-walk decode (v3 streams — the fast path).** The encoder
+records the (bit, output) position of every ANCHOR_TOKENS-th committed
+token (utils/containers.py). Decode launches one LANE per recorded
+position (block starts + anchors): each lane walks its token interval
+serially — 3 word gathers + 2 LUT gathers per step, all lanes in
+parallel — scattering (literal | match start/dist) at exact output
+offsets. No speculation, no commit resolution: the index already says
+where tokens start. Lanes deactivate at EOB and may deterministically
+re-walk the next interval's head (identical scatters, harmless).
+
+**Speculative per-bit decode (v2 streams / no anchors — legacy path).**
+A candidate token is decoded at EVERY bit (2 LUT gathers/bit over
+windows built with shift algebra), then hierarchical serial row sweeps
+(~1000 tiny steps) find the true token boundaries from each block's
+indexed start bit.
+
+Shared machinery:
+
+- **Device-built LUTs** from ~700-byte canonical descriptors — the host
+  never materialises 2^15-entry tables.
+- **Parallel LZ resolution.** Tokens scatter (start, dist) spans into
+  output space; segmented cummax finds each byte's covering token; the
+  closed-form in-token hop (s - d + ((i-s) mod d)) collapses overlap
+  chains, and pointer doubling with a convergence test finishes the
+  (shallow) nested-token chains.
+- **Fixed-shape groups.** Streams of any size decode in groups of
+  consecutive chunks sharing ONE compiled graph, carrying the previous
+  32 KiB of output as a resolved prefix across seams (the platform
+  compiler cannot hold whole-stream graphs).
+- **Device-resident output.** Bytes stay on device; CRC-32 runs there
+  (fused into the walk dispatch) and only 4 bytes return to verify.
+  `to_device=True` returns the device array — the TPU data-loading
+  path. Byte fetches happen in bounded slices (this box's device->host
+  path is latency-bound; see BASELINE.md).
 
 Streams without a 'ZZ' index fall back to the native C decoder
 (zzflate_tpu/native). Only streams produced by this package are indexed,
