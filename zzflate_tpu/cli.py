@@ -145,6 +145,11 @@ def _cmd_bench(args) -> int:
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="zzflate_tpu")
+    p.add_argument(
+        "--platform", default=None, choices=["cpu", "tpu", "axon"],
+        help="force the JAX backend (cpu runs everywhere; the default "
+        "uses the configured accelerator)",
+    )
     sub = p.add_subparsers(dest="cmd", required=True)
 
     pc = sub.add_parser("compress")
@@ -179,6 +184,12 @@ def main(argv=None) -> int:
     pb.set_defaults(fn=_cmd_bench)
 
     args = p.parse_args(argv)
+    if args.platform:
+        # Must land before first device use; env vars alone cannot switch
+        # platforms here (the container imports jax at interpreter start).
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     return args.fn(args)
 
 

@@ -24,7 +24,11 @@ import functools
 import jax
 import jax.numpy as jnp
 
-_INF = jnp.int32(1 << 30)
+# Plain int, NOT jnp.int32: a module-scope device scalar would
+# initialize (and freeze) the JAX backend at import time — package
+# import must never touch a device (CLI --platform and offline imports
+# rely on the backend staying lazy until first compute).
+_INF = 1 << 30
 
 
 @functools.partial(jax.jit, static_argnames=("max_len",))
