@@ -394,7 +394,12 @@ def _lazy_take(mlen, lazy, max_lazy, nice):
 # gather/scatter passes cost ~2-15 ms each. Rows of 512 bytes give
 # 512-step sweeps with (chunks * n/512) parallel lanes — ~6x faster than
 # ceil(log2 n) pointer-doubling rounds at production sizes, and exact.
-_ROW = 512
+# Env-tunable (ZZFLATE_ROW) for on-chip step-count vs lane-width A/B;
+# must exceed MAX_MATCH so every row's exit lands in the NEXT row (the
+# P2 chain invariant).
+_ROW = int(os.environ.get("ZZFLATE_ROW", "512"))
+if _ROW <= MAX_MATCH:
+    raise ValueError("ZZFLATE_ROW must exceed 258")
 
 
 @functools.partial(jax.jit, static_argnames=("lazy",))
