@@ -8,6 +8,8 @@ semantics pinned down in SURVEY.md A.1-A.6.
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 MIN_MATCH = 3
@@ -17,8 +19,14 @@ WINDOW_SIZE = 32768
 # 'ZZ' index v3 anchor spacing: the encoder records the (bit, output)
 # position of every ANCHOR_TOKENS-th committed token inside a block, so
 # the TPU decoder can walk every token interval in parallel with a
-# static per-lane step bound (models/inflate_tpu.py).
-ANCHOR_TOKENS = 1024
+# static per-lane step bound (models/inflate_tpu.py). The decoder reads
+# the spacing from the stream's index, so this knob only affects newly
+# encoded indexed streams: halving it doubles decode lane parallelism
+# (and halves the walk's serial step count) for ~2x the index overhead
+# (~8 B per ANCHOR_TOKENS tokens). Env-tunable for on-chip A/B sweeps.
+ANCHOR_TOKENS = int(os.environ.get("ZZFLATE_ANCHOR_TOKENS", "1024"))
+if not 0 < ANCHOR_TOKENS <= 4096 or 65536 % ANCHOR_TOKENS:
+    raise ValueError("ZZFLATE_ANCHOR_TOKENS must divide 65536 and be <= 4096")
 
 # Literal/length alphabet: 0..255 literals, 256 end-of-block, 257..285 lengths.
 NUM_LITLEN_SYMBOLS = 288  # 286 used + 2 reserved
