@@ -107,3 +107,22 @@ def test_compress_bound():
         data = os.urandom(min(n, 70000))
         out = zf.compress(data, level=6, format="gzip", chunk_bytes=CHUNK)
         assert len(out) <= zf.compress_bound(len(data), "gzip")
+
+
+def test_compact_fetch_byte_identical(monkeypatch):
+    """ZZFLATE_COMPACT_FETCH concatenates used words on device and fetches
+    exact sizes; the stitched stream must be byte-identical to the padded
+    per-chunk fetch path (api.finish reads the same word prefixes)."""
+    from zzflate_tpu import api
+
+    data = _mixed_data(60000, seed=11)
+    monkeypatch.setattr(api, "_COMPACT", False)
+    ref = zf.compress(data, level=6, format="gzip", chunk_bytes=CHUNK)
+    monkeypatch.setattr(api, "_COMPACT", True)
+    got = zf.compress(data, level=6, format="gzip", chunk_bytes=CHUNK)
+    assert got == ref
+    assert zlib.decompress(got, wbits=31) == data
+    # final-chunk (no sync-flush) and indexed (anchor arrays) variants
+    gi = zf.compress(data, level=6, format="gzip", chunk_bytes=CHUNK,
+                     indexed=True)
+    assert zlib.decompress(gi, wbits=31) == data

@@ -7,6 +7,7 @@ zzflate_tpu.stream; the multi-device pipeline in zzflate_tpu.parallel.
 """
 from __future__ import annotations
 
+import os
 import zlib as _zlib
 
 import numpy as np
@@ -17,6 +18,12 @@ from zzflate_tpu.models import deflate_encoder, inflate
 from zzflate_tpu.utils import containers
 
 _WINDOW = 32768
+
+# Compact the emit phase's per-chunk word buffers into one dense device
+# buffer before fetching (exact-size transfer; see emit_chunks_batch).
+# Env-gated pending on-chip A/B: the extra device scatter pass trades
+# against halving device->host bytes on the tunneled platform.
+_COMPACT = os.environ.get("ZZFLATE_COMPACT_FETCH", "0") == "1"
 
 
 def compress_bound(n: int, format: str = "zlib") -> int:
@@ -311,6 +318,9 @@ def _encode_segments(
                 stack("eob_v", np.uint32),
                 stack("eob_nb", np.int32),
                 with_anchors=with_anchors,
+                # Cross-chunk compaction would force cross-device traffic
+                # on a mesh; only compact the single-device path.
+                compact=_COMPACT and sharding is None,
             )
         cks = (
             (ana["adler"], ana["crc"]) if with_checksums else None
@@ -334,10 +344,26 @@ def _encode_segments(
             sb_out_np = np.asarray(res["sb_out"])
             anc_bit_np = np.asarray(res["anc_bit"])
             anc_out_np = np.asarray(res["anc_out"])
-            max_used = min(
-                out_words, int((nbits_np.max() + 3 + 31) // 32) + 1
-            )
-            words_np = np.asarray(res["words"][:, :max_used], dtype="<u4")
+            if "flat_words" in res:
+                # Compacted emit: fetch exactly the used words of the
+                # whole batch in one dense transfer.
+                cnt_np = np.asarray(res["word_cnt"]).astype(np.int64)
+                w_off = np.concatenate([[0], np.cumsum(cnt_np)])
+                flat_np = np.asarray(
+                    res["flat_words"][: int(w_off[-1])], dtype="<u4"
+                )
+                chunk_words = [
+                    flat_np[w_off[j] : w_off[j + 1]]
+                    for j in range(b1 - b0)
+                ]
+            else:
+                max_used = min(
+                    out_words, int((nbits_np.max() + 3 + 31) // 32) + 1
+                )
+                words_np = np.asarray(
+                    res["words"][:, :max_used], dtype="<u4"
+                )
+                chunk_words = [words_np[j] for j in range(b1 - b0)]
         if with_checksums:
             adlers.extend(int(x) for x in np.asarray(cks[0])[: b1 - b0])
             crcs.extend(int(x) for x in np.asarray(cks[1])[: b1 - b0])
@@ -347,18 +373,18 @@ def _encode_segments(
             final = (i == nchunks - 1) and stream_final
             if not frame:
                 segments.append(
-                    (words_np[j].tobytes()[: (nbits + 7) // 8], nbits)
+                    (chunk_words[j].tobytes()[: (nbits + 7) // 8], nbits)
                 )
                 blocks.append([])
                 anchors.append([])
                 continue
             if final:
-                seg = words_np[j].tobytes()[: (nbits + 7) // 8]
+                seg = chunk_words[j].tobytes()[: (nbits + 7) // 8]
             else:
                 # +3 zero bits open the sync-flush empty stored block; its
                 # alignment padding is zeros too (buffer starts zeroed).
                 seg = (
-                    words_np[j].tobytes()[: (nbits + 3 + 7) // 8]
+                    chunk_words[j].tobytes()[: (nbits + 3 + 7) // 8]
                     + containers.SYNC_FLUSH_MARKER
                 )
             chunk = data[i * chunk_bytes : (i + 1) * chunk_bytes]

@@ -686,23 +686,44 @@ def _emit_impl(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("out_words", "with_anchors")
+    jax.jit, static_argnames=("out_words", "with_anchors", "compact")
 )
 def emit_chunks_batch(
     analysis, out_words,
     ll_len, ll_code, d_len, d_code, hdr_vals, hdr_nbits, eob_v, eob_nb,
-    with_anchors=False,
+    with_anchors=False, compact=False,
 ):
-    """Phase 2, batched: consumes the phase-1 output dict directly."""
+    """Phase 2, batched: consumes the phase-1 output dict directly.
+
+    compact=True additionally concatenates every chunk's USED words
+    (ceil((nbits+3)/32); +3 covers the sync-flush opener bits the
+    stitcher reads) into one dense "flat_words" buffer with per-chunk
+    "word_cnt". The host then fetches exactly the compressed bytes
+    instead of a (B, batch-max) padded slice — on the tunneled platform
+    device->host bandwidth is the scarce resource (BASELINE.md)."""
     fn = functools.partial(
         _emit_impl, out_words=out_words, with_anchors=with_anchors
     )
-    return jax.vmap(fn)(
+    out = jax.vmap(fn)(
         analysis["committed"], analysis["is_match"], analysis["litlen_sym"],
         analysis["lcode"], analysis["dcode"], analysis["mlen"],
         analysis["mdist"],
         ll_len, ll_code, d_len, d_code, hdr_vals, hdr_nbits, eob_v, eob_nb,
     )
+    if compact:
+        words = out["words"]                      # (B, W) u32
+        bsz, w = words.shape
+        cnt = (out["nbits"] + 3 + 31) // 32       # (B,) used words
+        off = jnp.cumsum(cnt) - cnt               # exclusive prefix
+        k = jnp.arange(w, dtype=jnp.int32)[None, :]
+        tgt = jnp.where(k < cnt[:, None], off[:, None] + k, bsz * w)
+        flat = jnp.zeros((bsz * w,), jnp.uint32).at[tgt.reshape(-1)].set(
+            words.reshape(-1), mode="drop"
+        )
+        out["flat_words"] = flat
+        out["word_cnt"] = cnt
+        del out["words"]  # don't keep (or fetch) the padded buffers
+    return out
 
 
 @functools.partial(
