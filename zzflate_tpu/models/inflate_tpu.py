@@ -47,6 +47,7 @@ so the one-block-per-index-entry layout is guaranteed.
 from __future__ import annotations
 
 import functools
+import os
 import struct
 import zlib as _zlib
 
@@ -78,6 +79,11 @@ _GROUP_OUT = 2 << 20
 
 _MAX_LL = 288
 _MAX_D = 32  # HDIST is 5 bits: up to 32 dist codes (30/31 invalid if used)
+
+# XLA unroll factor for the anchor-walk token loop: each iteration's real
+# work is lane-width (~1-4K elements), so if per-iteration loop overhead
+# dominates on the platform, unrolling wins. Env-tunable for on-chip A/B.
+_WALK_UNROLL = int(os.environ.get("ZZFLATE_WALK_UNROLL", "1"))
 
 
 # ---------------------------------------------------------------------------
@@ -616,7 +622,7 @@ def _walk_all(
         lane_valid,
     )
     litval, start_mark, dist_at, _, _, _ = jax.lax.fori_loop(
-        0, t_steps, step, init
+        0, t_steps, step, init, unroll=_WALK_UNROLL
     )
     out = _resolve_lz(litval, start_mark, dist_at, n_out_pad)
     if not with_crc:
