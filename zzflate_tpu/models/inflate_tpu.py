@@ -935,7 +935,10 @@ def decompress_indexed(
     return out
 
 
-_FETCH_SLICE = 2 << 20
+# Device->host fetch slice (bytes); env-tunable after transfer sweeps on
+# the target platform (BASELINE.md: big one-shot fetches are pathological,
+# small ones pay fixed latency).
+_FETCH_SLICE = int(os.environ.get("ZZFLATE_FETCH_SLICE", str(2 << 20)))
 
 
 def _fetch_bytes(out_dev: jax.Array, total_out: int, base: int = 0) -> bytes:

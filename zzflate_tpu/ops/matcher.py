@@ -47,6 +47,10 @@ _USE_PALLAS = os.environ.get("ZZFLATE_NO_PALLAS") != "1"
 
 _TOO_FAR = 4096  # reject len-3 matches farther than this (zlib heuristic)
 
+# Interior-suffix candidate propagation (see find_matches); measured-ratio
+# probe knob.
+_PROPAGATE = os.environ.get("ZZFLATE_PROP", "0") == "1"
+
 
 def _pack_words(data: jax.Array, nwords: int) -> list[jax.Array]:
     """w[j][i] = BIG-endian u32 of bytes data[i+4j : i+4j+4].
@@ -363,6 +367,28 @@ def find_matches(
         mlen = jnp.where(f2, jnp.maximum(m2, via_anchor), m2).reshape(-1)
     else:
         mlen = jnp.where(full, extlen, mlen)
+
+    if _PROPAGATE:
+        # Interior-suffix propagation: a match (len, dist) at p implies a
+        # valid match (len - k, dist) at p + k for every 0 < k < len (the
+        # same source window, shifted) — candidates the K-neighbor scans
+        # may have missed. In packed form (len<<15 | 32768-dist) this is
+        # a distance-decayed running max over the last 258 positions:
+        # log2(258) doubling rounds of roll+subtract+max, no gathers.
+        # Strictly valid (never an overestimate), helps the lazy/optimal
+        # parses pick better interior tokens.
+        pk = jnp.where(
+            mlen > 0,
+            (mlen << 15) | (jnp.int32(WINDOW_SIZE) - mdist),
+            0,
+        )
+        shift = 1
+        while shift < MAX_MATCH:
+            cand = jnp.roll(pk, shift) - (shift << 15)
+            cand = jnp.where((pos >= shift) & (cand >= (3 << 15)), cand, 0)
+            pk = jnp.maximum(pk, cand)
+            shift *= 2
+        mlen, mdist = _unpack_best(pk)
 
     mlen = jnp.minimum(mlen, jnp.minimum(MAX_MATCH, valid_end - pos))
     mlen = jnp.where(
