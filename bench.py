@@ -107,10 +107,46 @@ def full_ratio_table(target_mib: int = 100) -> None:
         )
 
 
+def _platform_responsive(timeout_s: float = 150.0) -> bool:
+    """Probe the default JAX platform in a SUBPROCESS with a timeout.
+
+    The tunneled axon platform occasionally dies in a way that makes even
+    trivial device ops hang forever (BASELINE.md); a hung bench is worse
+    than a CPU-fallback bench, and the platform choice must be made
+    before this process touches a backend."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                "import jax, numpy as np, jax.numpy as jnp;"
+                "print(int(np.asarray(jnp.sum(jnp.arange(8)))))",
+            ],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+        return r.returncode == 0 and b"28" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
     import os
 
     import jax
+
+    platform_note = ""
+    if os.environ.get("JAX_PLATFORMS", "") not in ("cpu",) and (
+        not _platform_responsive()
+    ):
+        jax.config.update("jax_platforms", "cpu")
+        platform_note = "cpu_fallback(device unresponsive)"
+        print(
+            "WARNING: device platform unresponsive; benching on CPU",
+            file=sys.stderr,
+        )
 
     # Persistent compile cache (works for CPU; harmless no-op if the axon
     # PJRT plugin cannot serialize executables).
@@ -189,16 +225,15 @@ def main() -> None:
         file=sys.stderr,
     )
     print(f"stages_ms={json.dumps(stages)}", file=sys.stderr)
-    print(
-        json.dumps(
-            {
-                "metric": "encode_MBps_level6",
-                "value": round(mbps, 2),
-                "unit": "MB/s",
-                "vs_baseline": round(mbps / zlib_mbps, 3),
-            }
-        )
-    )
+    record = {
+        "metric": "encode_MBps_level6",
+        "value": round(mbps, 2),
+        "unit": "MB/s",
+        "vs_baseline": round(mbps / zlib_mbps, 3),
+    }
+    if platform_note:
+        record["note"] = platform_note
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
