@@ -72,3 +72,41 @@ def test_scan_window_edges():
     exp_l, exp_d = _xla_reference(adj, spos, jnp.int32(0), 4, False)
     assert (np.asarray(got_l) == exp_l).all()
     assert (np.asarray(got_d) == exp_d).all()
+
+
+@pytest.mark.parametrize("lazy", [False, True])
+def test_parse_rows_matches_xla(lazy):
+    """Fused Pallas row-sweep parse (P1+P2+P3 in one kernel, interpret
+    mode here) is bit-identical to matcher.parse_commit_batch's XLA
+    sweeps — greedy and lazy, npad != n, nonzero starts."""
+    import zzflate_tpu.ops.matcher as M
+
+    rng = np.random.default_rng(7)
+    B, N = 2, 2048 + 123
+    mlen = np.where(
+        rng.random((B, N)) < 0.3, rng.integers(3, 259, (B, N)), 0
+    ).astype(np.int32)
+    mdist = np.where(mlen > 0, rng.integers(1, 1000, (B, N)), 0).astype(
+        np.int32
+    )
+    starts = np.array([700, 0], np.int32)
+    vends = np.array([N - 9, N], np.int32)
+    args = (
+        jnp.asarray(mlen), jnp.asarray(mdist),
+        jnp.asarray(starts), jnp.asarray(vends), lazy,
+    )
+    prev = M._PALLAS_PARSE
+    try:
+        M._PALLAS_PARSE = ""
+        jax.clear_caches()
+        c1, t1 = M.parse_commit_batch(*args)
+        c1, t1 = np.asarray(c1), np.asarray(t1)
+        M._PALLAS_PARSE = "i"
+        jax.clear_caches()
+        c2, t2 = M.parse_commit_batch(*args)
+        assert np.array_equal(c1, np.asarray(c2))
+        assert np.array_equal(t1, np.asarray(t2))
+        assert c1.sum() > 0
+    finally:
+        M._PALLAS_PARSE = prev
+        jax.clear_caches()

@@ -430,6 +430,13 @@ _ROW = int(os.environ.get("ZZFLATE_ROW", "512"))
 if _ROW <= MAX_MATCH:
     raise ValueError("ZZFLATE_ROW must exceed 258")
 
+# Fused Pallas row-sweep parse (pallas_kernels.parse_rows): "1" = compiled
+# (TPU), "i" = interpret mode (CPU tests), unset/0 = the XLA sweeps.
+_PALLAS_PARSE = os.environ.get("ZZFLATE_PALLAS_PARSE", "")
+if _PALLAS_PARSE not in ("", "0", "1", "i"):
+    raise ValueError("ZZFLATE_PALLAS_PARSE must be '', '0', '1' or 'i'")
+_PALLAS_PARSE = _PALLAS_PARSE if _PALLAS_PARSE in ("1", "i") else ""
+
 
 @functools.partial(jax.jit, static_argnames=("lazy",))
 def parse_commit_batch(
@@ -464,6 +471,23 @@ def parse_commit_batch(
     if npad != n:
         step = jnp.pad(step, ((0, 0), (0, npad - n)), constant_values=1)
     rows_per = npad // _ROW
+
+    if _PALLAS_PARSE:
+        from zzflate_tpu.ops import pallas_kernels as pk
+
+        mark = pk.parse_rows(
+            step, starts.astype(jnp.int32), _ROW,
+            interpret=_PALLAS_PARSE == "i",
+        )
+        committed = mark[:, :n] == 1
+        posn = jnp.arange(n, dtype=jnp.int32)[None, :]
+        committed = (
+            committed
+            & (posn >= starts[:, None])
+            & (posn < valid_ends[:, None])
+        )
+        return committed, take & committed
+
     lanes = bch * rows_per
     nflat = bch * npad
     sink = jnp.int32(nflat)

@@ -149,3 +149,120 @@ def scan_candidates(
         interpret=interpret,
     )(ws, a2, ap, an, p2, pp, pn)
     return out[0].reshape(-1)[:n], out[1].reshape(-1)[:n]
+
+
+# ---------------------------------------------------------------------------
+# Fused serial row-sweep parse (matcher.parse_commit_batch's P1+P2+P3).
+#
+# The XLA formulation runs ~1600 fori_loop steps per batch, each paying a
+# full-width dynamic gather (take_along_axis over the (ROW, lanes) exit
+# array) — measured at ~90 us/step on the target chip. This kernel keeps
+# one CHUNK's entire parse state in VMEM and replaces every dynamic
+# gather with a one-hot select over a <=258-wide window (dense VPU work;
+# TPUs have no fast arbitrary gather, but a 576x258 masked max costs
+# ~0.5 us): a step of the sweep touches only on-chip memory.
+#
+# Semantics are bit-identical to the XLA path (same P1/P2/P3 recurrences,
+# chunk-local flat indices); tests/test_pallas.py compares them directly.
+# ---------------------------------------------------------------------------
+
+_SINK = 1 << 30
+
+
+def _parse_kernel(starts_ref, step_ref, mark_ref, ex_ref, *, rows_per, row):
+    step_t = step_ref[0]                      # (rows_per, row) i32
+    rvec = jax.lax.broadcasted_iota(jnp.int32, (rows_per, 1), 0)
+    w = 258  # max step is <= MAX_MATCH = 258 (literal step = 1)
+    t_iota = jax.lax.broadcasted_iota(jnp.int32, (rows_per, w), 1)
+
+    # P1: reverse exit sweep. ex[r, j] = chunk-local flat landing of the
+    # first hop from (r, j) that leaves row r. land = j + s; if it stays
+    # in-row the value chains through ex[r, land], read as a one-hot max
+    # over the 258-wide window ex[r, j+1 : j+1+258].
+    ex_ref[:, :] = jnp.zeros((rows_per, ex_ref.shape[1]), jnp.int32)
+
+    def p1(t, _):
+        j = row - 1 - t
+        s = jax.lax.dynamic_slice(step_t, (0, j), (rows_per, 1))
+        win = ex_ref[:, pl.ds(j + 1, w)]               # (rows_per, 258)
+        eq = (s - 1) == t_iota
+        hop = jnp.max(jnp.where(eq, win, 0), axis=1, keepdims=True)
+        land = j + s
+        val = jnp.where(land >= row, rvec * row + land, hop)
+        ex_ref[:, pl.ds(j, 1)] = val
+        return 0
+
+    jax.lax.fori_loop(0, row, p1, 0, unroll=4)
+
+    # P2: chain row entries serially (scalar walk; exits from row r land
+    # in row r+1 because row > MAX_MATCH). Entries overwrite ex column 0's
+    # pad area — kept in a register carry instead: each row's entry is
+    # written into mark_ref's row via P3 immediately? No — two phases keep
+    # the recurrences simple: collect entries into the ex pad columns
+    # (indices row..row+w beyond every read window of P3).
+    start = starts_ref[0, 0]
+    r0 = start // row
+
+    def p2(r, e):
+        e = jnp.where(r == r0, start, e)
+        cur = jnp.where(r >= r0, e, _SINK)
+        ex_ref[r, row + w] = cur                       # entry slot
+        j = jnp.clip(cur - r * row, 0, row - 1)
+        nxt = ex_ref[r, j]
+        return jnp.where(r >= r0, nxt, e)
+
+    jax.lax.fori_loop(0, rows_per, p2, jnp.int32(0))
+
+    # P3: forward mark walk of every row from its entry, one-hot marking.
+    entries = ex_ref[:, row + w : row + w + 1]         # (rows_per, 1)
+    j0 = entries - rvec * row
+    active0 = (entries < _SINK) & (j0 >= 0) & (j0 < row)
+    j_iota = jax.lax.broadcasted_iota(jnp.int32, (rows_per, row), 1)
+    mark_ref[0] = jnp.zeros((rows_per, row), jnp.int32)
+
+    def p3(t, state):
+        j, active = state
+        eq = (j == j_iota) & active
+        mark_ref[0] = jnp.maximum(mark_ref[0], eq.astype(jnp.int32))
+        s = jnp.max(jnp.where(eq, step_t, 0), axis=1, keepdims=True)
+        j = j + s
+        return j, active & (j < row)
+
+    jax.lax.fori_loop(0, row, p3, (j0, active0), unroll=4)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("row", "interpret")
+)
+def parse_rows(
+    step: jax.Array,
+    starts: jax.Array,
+    row: int,
+    interpret: bool = False,
+):
+    """Fused row-sweep parse: step (B, npad) int32 (npad % row == 0),
+    starts (B,) int32. Returns mark (B, npad) int32 (1 = committed),
+    identical to matcher.parse_commit_batch's P1+P2+P3 walk."""
+    bch, npad = step.shape
+    rows_per = npad // row
+    w = 258
+    cols = -(-(row + w + 1) // _LANES) * _LANES  # ex + entry slot, padded
+    out = pl.pallas_call(
+        functools.partial(_parse_kernel, rows_per=rows_per, row=row),
+        grid=(bch,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, rows_per, row), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rows_per, row), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bch, rows_per, row), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((rows_per, cols), jnp.int32)],
+        interpret=interpret,
+    )(
+        starts.astype(jnp.int32).reshape(bch, 1),
+        step.reshape(bch, rows_per, row),
+    )
+    return out.reshape(bch, npad)
