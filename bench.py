@@ -92,7 +92,7 @@ def full_ratio_table(target_mib: int = 100) -> None:
 
     print(f"fixture={len(data)}B ({mb:.0f} MB)", file=sys.stderr)
     print("level  ours_B  zlib_B  libdeflate_B  rel_zlib  enc_MBps")
-    for level in (1, 6, 9):
+    for level in (1, 6, 7, 8, 9):
         t0 = time.perf_counter()
         ours = zf.compress(
             data, level=level, format="zlib", chunk_bytes=CHUNK_BYTES
