@@ -25,6 +25,7 @@ def corpus():
     [
         (1, 1.000),   # suffix-sort candidates beat zlib's 4-entry chains
         (6, 1.005),
+        (7, 1.000),   # cost-aware optimal parse beats zlib-7 outright
         (8, 1.000),   # cost-aware optimal parse beats zlib-8 outright
         (9, 1.005),
     ],

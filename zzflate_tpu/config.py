@@ -42,7 +42,7 @@ LEVELS: dict[int, LevelParams] = {
     4: LevelParams(4, True, 4, 16, 8, 8),
     5: LevelParams(5, True, 16, 32, 12, 8),
     6: LevelParams(6, True, 16, 128, 16, 16),
-    7: LevelParams(7, True, 32, 128, 20, 16),
+    7: LevelParams(7, True, 32, 128, 20, 16, optimal=True),
     8: LevelParams(8, True, 128, 258, 24, 16, optimal=True),
     9: LevelParams(9, True, 258, 258, 32, 16, optimal=True),
 }

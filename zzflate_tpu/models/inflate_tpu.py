@@ -85,6 +85,15 @@ _MAX_D = 32  # HDIST is 5 bits: up to 32 dist codes (30/31 invalid if used)
 # dominates on the platform, unrolling wins. Env-tunable for on-chip A/B.
 _WALK_UNROLL = int(os.environ.get("ZZFLATE_WALK_UNROLL", "1"))
 
+# Deferred-scatter walk (default): the token loop records each step's
+# (target, literal, dist) as a ROW of (t_steps, lanes) arrays — a
+# contiguous dynamic_update_slice, cheap — and the three output-space
+# scatters run ONCE over all t_steps*lanes records after the loop,
+# instead of 3 full-width scatters inside every loop step. Identical
+# results (`.max` over the same update set is order-free); env opt-out
+# for on-chip A/B.
+_WALK_DEFER = os.environ.get("ZZFLATE_WALK_DEFER", "1") != "0"
+
 
 # ---------------------------------------------------------------------------
 # Module constants (device-cached on first use).
@@ -586,8 +595,8 @@ def _walk_all(
     nw = words.shape[0]
     uid = jnp.clip(lane_uid, 0, ll_first.shape[0] - 1)
 
-    def step(t, state):
-        litval, start_mark, dist_at, p, o, active = state
+    def decode_step(p, o, active):
+        """One token per active lane: (emit tgt, lit, dist, next p/o/active)."""
         wi = jnp.clip(p >> 5, 0, nw - 3)
         s = (p & 31).astype(jnp.uint32)
         w0 = words[wi]
@@ -601,29 +610,63 @@ def _walk_all(
         )
         emit = active & (islit | islen)
         tgt = jnp.where(emit, o, n_out_pad)
-        litval = litval.at[tgt].max(
-            jnp.where(islit, sym, 0), mode="drop"
-        )
-        start_mark = start_mark.at[tgt].max(
-            jnp.where(emit, o, -1), mode="drop"
-        )
-        dist_at = dist_at.at[tgt].max(
-            jnp.where(islen, mdist, 0), mode="drop"
-        )
+        lit = jnp.where(islit, sym, 0)
+        dst = jnp.where(islen, mdist, 0)
         o = o + jnp.where(emit, outlen, 0)
         ok = stepw <= 48  # EOB/invalid decode as _HUGE: lane is done
         p = p + jnp.where(active & ok, stepw, 0)
-        return litval, start_mark, dist_at, p, o, active & ok
+        return tgt, lit, dst, p, o, active & ok
 
-    init = (
-        litval, start_mark, dist_at,
-        jnp.where(lane_valid, lane_bit, 0),
-        jnp.where(lane_valid, lane_out, n_out_pad),
-        lane_valid,
-    )
-    litval, start_mark, dist_at, _, _, _ = jax.lax.fori_loop(
-        0, t_steps, step, init, unroll=_WALK_UNROLL
-    )
+    p0 = jnp.where(lane_valid, lane_bit, 0)
+    o0 = jnp.where(lane_valid, lane_out, n_out_pad)
+    lcount = lane_bit.shape[0]
+    if _WALK_DEFER:
+        def step(t, state):
+            rec_tgt, rec_lit, rec_dst, p, o, active = state
+            tgt, lit, dst, p, o, active = decode_step(p, o, active)
+            rec_tgt = jax.lax.dynamic_update_slice(
+                rec_tgt, tgt[None, :], (t, 0)
+            )
+            rec_lit = jax.lax.dynamic_update_slice(
+                rec_lit, lit[None, :], (t, 0)
+            )
+            rec_dst = jax.lax.dynamic_update_slice(
+                rec_dst, dst[None, :], (t, 0)
+            )
+            return rec_tgt, rec_lit, rec_dst, p, o, active
+
+        rec_tgt, rec_lit, rec_dst, _, _, _ = jax.lax.fori_loop(
+            0, t_steps, step,
+            (
+                jnp.full((t_steps, lcount), n_out_pad, jnp.int32),
+                jnp.zeros((t_steps, lcount), jnp.int32),
+                jnp.zeros((t_steps, lcount), jnp.int32),
+                p0, o0, lane_valid,
+            ),
+            unroll=_WALK_UNROLL,
+        )
+        ft = rec_tgt.reshape(-1)
+        litval = litval.at[ft].max(rec_lit.reshape(-1), mode="drop")
+        start_mark = start_mark.at[ft].max(
+            jnp.where(ft < n_out_pad, ft, -1), mode="drop"
+        )
+        dist_at = dist_at.at[ft].max(rec_dst.reshape(-1), mode="drop")
+    else:
+        def step(t, state):
+            litval, start_mark, dist_at, p, o, active = state
+            tgt, lit, dst, p, o, active = decode_step(p, o, active)
+            litval = litval.at[tgt].max(lit, mode="drop")
+            start_mark = start_mark.at[tgt].max(
+                jnp.where(tgt < n_out_pad, tgt, -1), mode="drop"
+            )
+            dist_at = dist_at.at[tgt].max(dst, mode="drop")
+            return litval, start_mark, dist_at, p, o, active
+
+        litval, start_mark, dist_at, _, _, _ = jax.lax.fori_loop(
+            0, t_steps, step,
+            (litval, start_mark, dist_at, p0, o0, lane_valid),
+            unroll=_WALK_UNROLL,
+        )
     out = _resolve_lz(litval, start_mark, dist_at, n_out_pad)
     if not with_crc:
         return out, jnp.uint32(0)
