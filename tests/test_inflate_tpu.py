@@ -211,3 +211,18 @@ def test_v2_index_back_compat():
     p2 = containers.parse_gzip_index(blob)
     assert p2 is not None and p2[2] == 0  # anchor_tokens == 0 -> per-bit
     assert inflate_tpu.decompress_indexed(blob) == data
+
+
+def test_walk_defer_paths_identical(monkeypatch):
+    """The deferred-scatter walk (record rows in the loop, scatter once)
+    and the per-step-scatter walk must produce identical bytes: the same
+    (target, value) update set applied via `.max`, order-free."""
+    data = (b"defer scatter equivalence corpus 0123456789 " * 1500)[:60000]
+    out = zf.compress(
+        data, level=6, format="gzip", chunk_bytes=CHUNK, indexed=True
+    )
+    monkeypatch.setattr(inflate_tpu, "_WALK_DEFER", True)
+    a = inflate_tpu.decompress_indexed(out)
+    monkeypatch.setattr(inflate_tpu, "_WALK_DEFER", False)
+    b = inflate_tpu.decompress_indexed(out)
+    assert a == b == data

@@ -563,12 +563,15 @@ def _resolve_lz(litval, start_mark, dist_at, n_out_pad):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_out_pad", "n_stored", "t_steps", "with_crc"),
+    static_argnames=(
+        "n_out_pad", "n_stored", "t_steps", "with_crc", "defer"
+    ),
 )
 def _walk_all(
     words, ll_first, ll_cnt, ll_off, ll_sym, d_first, d_cnt, d_off, d_sym,
     lane_bit, lane_out, lane_uid, lane_valid, prefix, stored_idx,
     stored_val, crc_len, n_out_pad, n_stored, t_steps, with_crc,
+    defer=True,
 ):
     """Anchor-walk decode (v3 indexed streams): every lane decodes up to
     t_steps tokens serially from a known token-aligned bit position (a
@@ -620,7 +623,7 @@ def _walk_all(
     p0 = jnp.where(lane_valid, lane_bit, 0)
     o0 = jnp.where(lane_valid, lane_out, n_out_pad)
     lcount = lane_bit.shape[0]
-    if _WALK_DEFER:
+    if defer:
         def step(t, state):
             rec_tgt, rec_lit, rec_dst, p, o, active = state
             tgt, lit, dst, p, o, active = decode_step(p, o, active)
@@ -912,7 +915,7 @@ def decompress_indexed(
                 jnp.asarray(si), jnp.asarray(sv),
                 jnp.asarray(_W + go, jnp.int32),
                 n_out_pad=n_out_pad, n_stored=n_stored, t_steps=t_steps,
-                with_crc=verify,
+                with_crc=verify, defer=_WALK_DEFER,
             )
             if verify:
                 group_crc.append(crc_dev)
