@@ -226,3 +226,34 @@ def test_walk_defer_paths_identical(monkeypatch):
     monkeypatch.setattr(inflate_tpu, "_WALK_DEFER", False)
     b = inflate_tpu.decompress_indexed(out)
     assert a == b == data
+
+
+def test_walk_grouped_vmap_identical(monkeypatch):
+    """Stacked all-groups walk dispatch (_walk_all_grouped) vs the
+    sequential per-group path: identical bytes, working CRC verify, and
+    exact 32 KiB prefix carry across group seams (out cap == window, so
+    matches reach fully into the previous group)."""
+    monkeypatch.setattr(inflate_tpu, "_WGROUP_OUT", 1 << 15)
+    rng = np.random.default_rng(9)
+    lump = rng.integers(0, 64, size=3000, dtype=np.uint8).tobytes()
+    data = (
+        (b"grouped walk seam stress 0123456789 " * 900)[:24000]
+        + lump * 8
+        + b"\x00" * 40000
+        + (lump[:640] * 120)
+    )
+    out = zf.compress(
+        data, level=6, format="gzip", chunk_bytes=16384, indexed=True
+    )
+    monkeypatch.setattr(inflate_tpu, "_WALK_VMAP", False)
+    ref = inflate_tpu.decompress_indexed(out)
+    monkeypatch.setattr(inflate_tpu, "_WALK_VMAP", True)
+    got = inflate_tpu.decompress_indexed(out)
+    assert ref == got == data
+    arr, n = inflate_tpu.decompress_indexed(out, to_device=True)
+    assert n == len(data) and bytes(np.asarray(arr)) == data
+    # CRC still guards the stacked path: flip a payload byte.
+    bad = bytearray(out)
+    bad[len(bad) // 2] ^= 0x40
+    with pytest.raises(ValueError):
+        inflate_tpu.decompress_indexed(bytes(bad))

@@ -94,6 +94,20 @@ _WALK_UNROLL = int(os.environ.get("ZZFLATE_WALK_UNROLL", "1"))
 # for on-chip A/B.
 _WALK_DEFER = os.environ.get("ZZFLATE_WALK_DEFER", "1") != "0"
 
+# Stacked multi-group walk decode (_walk_all_grouped): all groups' walks
+# and LZ chases run in ONE vmapped dispatch, with the 32 KiB group-seam
+# prefix chained through a G-step scan of the final byte-gather. Default
+# off until the remote compiler's cost for the G-wide graph (arrays of
+# G x n_out_pad elements) is measured on the chip; correctness is
+# equivalence-tested on CPU either way.
+_WALK_VMAP = os.environ.get("ZZFLATE_WALK_VMAP", "0") == "1"
+
+# Walk-path group caps (compressed body / decoded output per device
+# graph). Module-level so tests can shrink them to force multi-group
+# streams on small CPU fixtures.
+_WGROUP_BODY = 4 << 20
+_WGROUP_OUT = (4 << 20) - _W
+
 
 # ---------------------------------------------------------------------------
 # Module constants (device-cached on first use).
@@ -526,9 +540,13 @@ def _stage_out(prefix, stored_idx, stored_val, n_out_pad, n_stored):
     return litval, start_mark, dist_at
 
 
-def _resolve_lz(litval, start_mark, dist_at, n_out_pad):
-    """LZ resolve: covering token via segmented cummax, then pointer
-    doubling with a convergence test.
+def _resolve_parent(start_mark, dist_at, n_out_pad):
+    """LZ source chase: covering token via segmented cummax, then pointer
+    doubling with a convergence test. Returns the fully-chased parent
+    array (every position's ultimate LITERAL source index) — a function
+    of token structure only, independent of the byte VALUES, which is
+    what lets multi-group streams chase all groups in parallel and only
+    chain the final byte-gather through the 32 KiB group-seam prefix.
 
     The first hop is the closed-form in-token source: a match starting
     at s with distance d repeats its source with period d, so position
@@ -558,20 +576,18 @@ def _resolve_lz(litval, start_mark, dist_at, n_out_pad):
     parent, _, _ = jax.lax.while_loop(
         cond, body, (parent, jnp.bool_(True), jnp.int32(0))
     )
+    return parent
+
+
+def _resolve_lz(litval, start_mark, dist_at, n_out_pad):
+    parent = _resolve_parent(start_mark, dist_at, n_out_pad)
     return litval[parent].astype(jnp.uint8)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "n_out_pad", "n_stored", "t_steps", "with_crc", "defer"
-    ),
-)
-def _walk_all(
+def _walk_core(
     words, ll_first, ll_cnt, ll_off, ll_sym, d_first, d_cnt, d_off, d_sym,
     lane_bit, lane_out, lane_uid, lane_valid, prefix, stored_idx,
-    stored_val, crc_len, n_out_pad, n_stored, t_steps, with_crc,
-    defer=True,
+    stored_val, n_out_pad, n_stored, t_steps, defer,
 ):
     """Anchor-walk decode (v3 indexed streams): every lane decodes up to
     t_steps tokens serially from a known token-aligned bit position (a
@@ -670,6 +686,27 @@ def _walk_all(
             (litval, start_mark, dist_at, p0, o0, lane_valid),
             unroll=_WALK_UNROLL,
         )
+    return litval, start_mark, dist_at
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_out_pad", "n_stored", "t_steps", "with_crc", "defer"
+    ),
+)
+def _walk_all(
+    words, ll_first, ll_cnt, ll_off, ll_sym, d_first, d_cnt, d_off, d_sym,
+    lane_bit, lane_out, lane_uid, lane_valid, prefix, stored_idx,
+    stored_val, crc_len, n_out_pad, n_stored, t_steps, with_crc,
+    defer=True,
+):
+    """Single-group anchor-walk decode: walk + LZ resolve + fused CRC."""
+    litval, start_mark, dist_at = _walk_core(
+        words, ll_first, ll_cnt, ll_off, ll_sym, d_first, d_cnt, d_off,
+        d_sym, lane_bit, lane_out, lane_uid, lane_valid, prefix,
+        stored_idx, stored_val, n_out_pad, n_stored, t_steps, defer,
+    )
     out = _resolve_lz(litval, start_mark, dist_at, n_out_pad)
     if not with_crc:
         return out, jnp.uint32(0)
@@ -679,6 +716,68 @@ def _walk_all(
     from zzflate_tpu.ops import checksums as cs
 
     return out, cs._crc32_impl(out, crc_len, jnp.int32(_W))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_out_pad", "n_stored", "t_steps", "with_crc", "defer"
+    ),
+)
+def _walk_all_grouped(
+    words, ll_first, ll_cnt, ll_off, ll_sym, d_first, d_cnt, d_off, d_sym,
+    lane_bit, lane_out, lane_uid, lane_valid, prefix0, stored_idx,
+    stored_val, crc_len, go, n_out_pad, n_stored, t_steps, with_crc,
+    defer=True,
+):
+    """All-groups anchor-walk decode in ONE dispatch.
+
+    Every array carries a leading group axis. The walk and the LZ parent
+    chase are byte-value-independent, so all groups run them in parallel
+    under vmap (one t_steps token loop and one doubling chase TOTAL,
+    instead of one sequential pair per ~4 MiB group); only the final
+    litval[parent] byte-gather needs the previous group's decoded tail
+    as its 32 KiB prefix, and that dependency is a G-step lax.scan of
+    one gather + one slice per group — the per-group walk loops were
+    the dominant decode cost on the chip (BASELINE.md round-2)."""
+    zero_prefix = jnp.zeros((_W,), jnp.uint8)
+
+    def parents(w, lf, lc, lo, ls, df, dc, do_, ds, lb, lo2, lu, lv,
+                si, sv):
+        litval, start_mark, dist_at = _walk_core(
+            w, lf, lc, lo, ls, df, dc, do_, ds, lb, lo2, lu, lv,
+            zero_prefix, si, sv, n_out_pad, n_stored, t_steps, defer,
+        )
+        return litval, _resolve_parent(start_mark, dist_at, n_out_pad)
+
+    litval, parent = jax.vmap(parents)(
+        words, ll_first, ll_cnt, ll_off, ll_sym, d_first, d_cnt, d_off,
+        d_sym, lane_bit, lane_out, lane_uid, lane_valid, stored_idx,
+        stored_val,
+    )
+
+    from zzflate_tpu.ops import checksums as cs
+
+    def seam(carry, xs):
+        lit_g, par_g, go_g, cl_g = xs
+        lit_g = jax.lax.dynamic_update_slice(
+            lit_g, carry.astype(jnp.int32), (0,)
+        )
+        out_g = lit_g[par_g].astype(jnp.uint8)
+        crc_g = (
+            cs._crc32_impl(out_g, cl_g, jnp.int32(_W))
+            if with_crc
+            else jnp.uint32(0)
+        )
+        # Positions [go, go+_W) are the next group's 32 KiB window (this
+        # buffer's own [0,_W) prefix covers the short-output case).
+        carry = jax.lax.dynamic_slice(out_g, (go_g,), (_W,))
+        return carry, (out_g, crc_g)
+
+    _, (outs, crcs) = jax.lax.scan(
+        seam, prefix0, (litval, parent, go, crc_len)
+    )
+    return outs, crcs
 
 
 def _pow2(n: int) -> int:
@@ -753,8 +852,8 @@ def decompress_indexed(
     # by output size alone — sized so the padded output stays at 2^22;
     # the per-bit path is compile-bound at _GROUP_BITS of body.
     if use_walk:
-        body_cap = 4 << 20
-        out_cap = max((4 << 20) - _W, chunk_bytes)
+        body_cap = _WGROUP_BODY
+        out_cap = max(_WGROUP_OUT, chunk_bytes)
     else:
         body_cap = _GROUP_BODY
         out_cap = max(_GROUP_OUT, chunk_bytes)
@@ -859,6 +958,11 @@ def decompress_indexed(
     prefix = jnp.zeros((_W,), jnp.uint8)
     group_out: list[tuple[jax.Array, int]] = []  # (device buf, out bytes)
     group_crc: list[jax.Array] = []
+    # Grouped mode: stage every group's numpy inputs, then decode ALL
+    # groups in one stacked dispatch (_walk_all_grouped) instead of one
+    # sequential walk per group.
+    grouped = use_walk and _WALK_VMAP and len(plans) > 1
+    staged: list[tuple] = []
     for glo, ghi, units, si0, sv0, lanes in plans:
         gbody = body[cpos[glo] : cpos[ghi]]
         go = (
@@ -892,12 +996,6 @@ def decompress_indexed(
             si = np.zeros(1, np.int32)
             sv = np.zeros(1, np.uint8)
 
-        luts = (
-            jnp.asarray(ll_first), jnp.asarray(ll_cnt),
-            jnp.asarray(ll_offs), jnp.asarray(ll_sym),
-            jnp.asarray(d_first), jnp.asarray(d_cnt),
-            jnp.asarray(d_offs), jnp.asarray(d_sym),
-        )
         if use_walk:
             lane_bit = np.zeros(l_pad, np.int32)
             lane_out = np.zeros(l_pad, np.int32)
@@ -908,8 +1006,20 @@ def decompress_indexed(
                 lane_out[j] = lo_
                 lane_uid[j] = lu
                 lane_valid[j] = True
+            if grouped:
+                staged.append((
+                    words, ll_first, ll_cnt, ll_offs, ll_sym,
+                    d_first, d_cnt, d_offs, d_sym,
+                    lane_bit, lane_out, lane_uid, lane_valid,
+                    si, sv, go,
+                ))
+                continue
             out_dev, crc_dev = _walk_all(
-                jnp.asarray(words), *luts,
+                jnp.asarray(words),
+                jnp.asarray(ll_first), jnp.asarray(ll_cnt),
+                jnp.asarray(ll_offs), jnp.asarray(ll_sym),
+                jnp.asarray(d_first), jnp.asarray(d_cnt),
+                jnp.asarray(d_offs), jnp.asarray(d_sym),
                 jnp.asarray(lane_bit), jnp.asarray(lane_out),
                 jnp.asarray(lane_uid), jnp.asarray(lane_valid), prefix,
                 jnp.asarray(si), jnp.asarray(sv),
@@ -921,7 +1031,11 @@ def decompress_indexed(
                 group_crc.append(crc_dev)
         else:
             out_dev = _decode_all(
-                jnp.asarray(words), *luts,
+                jnp.asarray(words),
+                jnp.asarray(ll_first), jnp.asarray(ll_cnt),
+                jnp.asarray(ll_offs), jnp.asarray(ll_sym),
+                jnp.asarray(d_first), jnp.asarray(d_cnt),
+                jnp.asarray(d_offs), jnp.asarray(d_sym),
                 jnp.asarray(start_bits), jnp.asarray(out_bases),
                 jnp.asarray(unit_valid), prefix,
                 jnp.asarray(si), jnp.asarray(sv),
@@ -949,10 +1063,30 @@ def decompress_indexed(
                 out_dev, (jnp.asarray(go, jnp.int32),), (_W,)
             )
 
+    if grouped:
+        gos = np.array([s[15] for s in staged], np.int32)
+        outs, crcs = _walk_all_grouped(
+            *(
+                jnp.asarray(np.stack([s[i] for s in staged]))
+                for i in range(13)
+            ),
+            prefix,
+            jnp.asarray(np.stack([s[13] for s in staged])),
+            jnp.asarray(np.stack([s[14] for s in staged])),
+            jnp.asarray(_W + gos), jnp.asarray(gos),
+            n_out_pad=n_out_pad, n_stored=n_stored, t_steps=t_steps,
+            with_crc=verify, defer=_WALK_DEFER,
+        )
+        for gi in range(len(staged)):
+            group_out.append((outs[gi], int(gos[gi])))
+            if verify:
+                group_crc.append(crcs[gi])
+
     if verify:
         crc = 0
-        for crc_dev, (_buf, go) in zip(group_crc, group_out):
-            crc = cs.crc32_combine(crc, int(np.asarray(crc_dev)), go)
+        vals = np.asarray(jnp.stack(group_crc)) if group_crc else []
+        for v, (_buf, go) in zip(vals, group_out):
+            crc = cs.crc32_combine(crc, int(v), go)
         if crc != crc_expect:
             raise ValueError("crc32 mismatch (TPU inflate)")
 
