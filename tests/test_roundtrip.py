@@ -126,3 +126,31 @@ def test_compact_fetch_byte_identical(monkeypatch):
     gi = zf.compress(data, level=6, format="gzip", chunk_bytes=CHUNK,
                      indexed=True)
     assert zlib.decompress(gi, wbits=31) == data
+
+
+def test_compact_fetch_skips_stored_chunks(monkeypatch):
+    """Compact emit zeroes word_cnt for incompressible chunks (their
+    Huffman words are never fetched; the host stitcher takes the stored
+    fallback) — output must stay byte-identical to the padded path,
+    including the boundary chunks around the incompressible region and a
+    final incompressible chunk (different keep threshold: no sync-flush
+    marker)."""
+    from zzflate_tpu import api
+
+    rng = np.random.default_rng(77)
+    noise = rng.integers(0, 256, size=3 * CHUNK, dtype=np.uint8).tobytes()
+    for data in (
+        (b"compressible text " * 400)[: CHUNK + 123] + noise
+        + (b"more text after the stored region " * 300)[:CHUNK],
+        b"leading text " * 200 + noise,  # incompressible FINAL chunk
+    ):
+        monkeypatch.setattr(api, "_COMPACT", False)
+        ref = zf.compress(data, level=6, format="gzip", chunk_bytes=CHUNK)
+        monkeypatch.setattr(api, "_COMPACT", True)
+        got = zf.compress(data, level=6, format="gzip", chunk_bytes=CHUNK)
+        assert got == ref
+        assert zlib.decompress(got, wbits=31) == data
+        gi = zf.compress(data, level=6, format="gzip", chunk_bytes=CHUNK,
+                         indexed=True)
+        assert zlib.decompress(gi, wbits=31) == data
+        assert zf.decompress(gi, format="gzip", engine="tpu") == data

@@ -298,6 +298,23 @@ def _encode_segments(
                 arr = jax.device_put(arr, sharding)
             return arr
 
+        compact = _COMPACT and sharding is None
+        kbm = None
+        if compact and frame:
+            # Per-chunk bit budget above which the stitcher picks the
+            # stored fallback: don't fetch Huffman words it will discard.
+            # Mirrors finish()'s byte comparison: non-final segments cost
+            # ceil((nbits+3)/8)+4 bytes (sync-flush opener + marker),
+            # final ones ceil(nbits/8); stored costs 5*ceil(L/65535)+L.
+            kbm = np.full((bsz,), np.iinfo(np.int32).max, np.int32)
+            for j in range(b1 - b0):
+                i = b0 + j
+                clen = min(chunk_bytes, max(0, n - i * chunk_bytes))
+                stored_len = 5 * max(1, -(-clen // 65535)) + clen
+                if (i == nchunks - 1) and stream_final:
+                    kbm[j] = 8 * stored_len
+                else:
+                    kbm[j] = 8 * (stored_len - 4) - 3
         with maybe_stage("emit_dispatch"):
             res = deflate_encoder.emit_chunks_batch(
                 override
@@ -317,10 +334,11 @@ def _encode_segments(
                 stack("hdr_nbits", np.int32),
                 stack("eob_v", np.uint32),
                 stack("eob_nb", np.int32),
+                keep_bits_max=None if kbm is None else jnp.asarray(kbm),
                 with_anchors=with_anchors,
                 # Cross-chunk compaction would force cross-device traffic
                 # on a mesh; only compact the single-device path.
-                compact=_COMPACT and sharding is None,
+                compact=compact,
             )
         cks = (
             (ana["adler"], ana["crc"]) if with_checksums else None
@@ -378,19 +396,25 @@ def _encode_segments(
                 blocks.append([])
                 anchors.append([])
                 continue
-            if final:
-                seg = chunk_words[j].tobytes()[: (nbits + 7) // 8]
-            else:
-                # +3 zero bits open the sync-flush empty stored block; its
-                # alignment padding is zeros too (buffer starts zeroed).
-                seg = (
-                    chunk_words[j].tobytes()[: (nbits + 3 + 7) // 8]
-                    + containers.SYNC_FLUSH_MARKER
-                )
             chunk = data[i * chunk_bytes : (i + 1) * chunk_bytes]
-            stored = containers.stored_segment(chunk, final=final)
-            if len(stored) < len(seg):
-                seg = stored
+            if len(chunk_words[j]) == 0:
+                # Compact emit dropped this chunk's words on device
+                # (nbits over keep_bits_max): the stored fallback wins.
+                seg = containers.stored_segment(chunk, final=final)
+            else:
+                if final:
+                    seg = chunk_words[j].tobytes()[: (nbits + 7) // 8]
+                else:
+                    # +3 zero bits open the sync-flush empty stored
+                    # block; its alignment padding is zeros too (buffer
+                    # starts zeroed).
+                    seg = (
+                        chunk_words[j].tobytes()[: (nbits + 3 + 7) // 8]
+                        + containers.SYNC_FLUSH_MARKER
+                    )
+                stored = containers.stored_segment(chunk, final=final)
+                if len(stored) < len(seg):
+                    seg = stored
             segments.append(seg)
             # Block index entries: (bit offset in segment, output offset in
             # chunk) for each block-group start. Meaningless for stored

@@ -691,7 +691,7 @@ def _emit_impl(
 def emit_chunks_batch(
     analysis, out_words,
     ll_len, ll_code, d_len, d_code, hdr_vals, hdr_nbits, eob_v, eob_nb,
-    with_anchors=False, compact=False,
+    keep_bits_max=None, with_anchors=False, compact=False,
 ):
     """Phase 2, batched: consumes the phase-1 output dict directly.
 
@@ -700,7 +700,15 @@ def emit_chunks_batch(
     stitcher reads) into one dense "flat_words" buffer with per-chunk
     "word_cnt". The host then fetches exactly the compressed bytes
     instead of a (B, batch-max) padded slice — on the tunneled platform
-    device->host bandwidth is the scarce resource (BASELINE.md)."""
+    device->host bandwidth is the scarce resource (BASELINE.md).
+
+    keep_bits_max (B,) int32, compact mode only: chunks whose nbits
+    exceed it get word_cnt=0 and contribute nothing to flat_words — the
+    host stitcher will take the stored-block fallback for them anyway
+    (incompressible chunks' Huffman coding is LARGER than the raw bytes;
+    fetching it would waste the scarce device->host bandwidth). The
+    threshold is computed host-side to replicate the stitcher's
+    stored-vs-huffman byte comparison exactly."""
     fn = functools.partial(
         _emit_impl, out_words=out_words, with_anchors=with_anchors
     )
@@ -714,6 +722,8 @@ def emit_chunks_batch(
         words = out["words"]                      # (B, W) u32
         bsz, w = words.shape
         cnt = (out["nbits"] + 3 + 31) // 32       # (B,) used words
+        if keep_bits_max is not None:
+            cnt = jnp.where(out["nbits"] <= keep_bits_max, cnt, 0)
         off = jnp.cumsum(cnt) - cnt               # exclusive prefix
         k = jnp.arange(w, dtype=jnp.int32)[None, :]
         tgt = jnp.where(k < cnt[:, None], off[:, None] + k, bsz * w)
