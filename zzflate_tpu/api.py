@@ -351,6 +351,18 @@ def _encode_segments(
     adlers: list[int] | None = [] if with_checksums else None
     crcs: list[int] | None = [] if with_checksums else None
 
+    def host_keep(i: int, nbits: int) -> bool:
+        """Host replica of the stored-vs-huffman choice (and of the
+        device keep_bits_max threshold): True when the Huffman segment
+        is worth fetching/using, False when the stored fallback wins."""
+        if not frame:
+            return True
+        clen = min(chunk_bytes, max(0, n - i * chunk_bytes))
+        stored_len = 5 * max(1, -(-clen // 65535)) + clen
+        if (i == nchunks - 1) and stream_final:
+            return (nbits + 7) // 8 <= stored_len
+        return (nbits + 10) // 8 + 4 <= stored_len
+
     def finish(sl, plans, res, cks):
         b0, b1 = sl
         # Fetch the bit counts first, then only the used prefix of the
@@ -362,6 +374,9 @@ def _encode_segments(
             sb_out_np = np.asarray(res["sb_out"])
             anc_bit_np = np.asarray(res["anc_bit"])
             anc_out_np = np.asarray(res["anc_out"])
+            keep = [
+                host_keep(b0 + j, int(nbits_np[j])) for j in range(b1 - b0)
+            ]
             if "flat_words" in res:
                 # Compacted emit: fetch exactly the used words of the
                 # whole batch in one dense transfer.
@@ -375,8 +390,18 @@ def _encode_segments(
                     for j in range(b1 - b0)
                 ]
             else:
+                # Width the padded batch fetch to the widest KEPT chunk:
+                # stored-bound chunks are exactly the widest rows (their
+                # Huffman coding exceeds the raw size) and their words
+                # are never used.
+                kept_bits = [
+                    int(nbits_np[j])
+                    for j in range(b1 - b0)
+                    if keep[j]
+                ]
                 max_used = min(
-                    out_words, int((nbits_np.max() + 3 + 31) // 32) + 1
+                    out_words,
+                    int((max(kept_bits, default=0) + 3 + 31) // 32) + 1,
                 )
                 words_np = np.asarray(
                     res["words"][:, :max_used], dtype="<u4"
@@ -397,24 +422,21 @@ def _encode_segments(
                 anchors.append([])
                 continue
             chunk = data[i * chunk_bytes : (i + 1) * chunk_bytes]
-            if len(chunk_words[j]) == 0:
-                # Compact emit dropped this chunk's words on device
-                # (nbits over keep_bits_max): the stored fallback wins.
+            if not keep[j]:
+                # The stored fallback wins; the Huffman words were never
+                # fetched (compact emit zeroed word_cnt on device / the
+                # padded fetch width excluded this chunk).
                 seg = containers.stored_segment(chunk, final=final)
+            elif final:
+                seg = chunk_words[j].tobytes()[: (nbits + 7) // 8]
             else:
-                if final:
-                    seg = chunk_words[j].tobytes()[: (nbits + 7) // 8]
-                else:
-                    # +3 zero bits open the sync-flush empty stored
-                    # block; its alignment padding is zeros too (buffer
-                    # starts zeroed).
-                    seg = (
-                        chunk_words[j].tobytes()[: (nbits + 3 + 7) // 8]
-                        + containers.SYNC_FLUSH_MARKER
-                    )
-                stored = containers.stored_segment(chunk, final=final)
-                if len(stored) < len(seg):
-                    seg = stored
+                # +3 zero bits open the sync-flush empty stored block;
+                # its alignment padding is zeros too (buffer starts
+                # zeroed).
+                seg = (
+                    chunk_words[j].tobytes()[: (nbits + 3 + 7) // 8]
+                    + containers.SYNC_FLUSH_MARKER
+                )
             segments.append(seg)
             # Block index entries: (bit offset in segment, output offset in
             # chunk) for each block-group start. Meaningless for stored
