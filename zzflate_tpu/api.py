@@ -196,8 +196,10 @@ def _encode_segments(
         memory stays bounded by the pipeline window, not the input."""
         b0, b1 = sl
         with maybe_stage("analyze_fetch_freqs"):
-            freq_ll = np.asarray(ana["freq_ll"])  # (bsz, SB, 288)
-            freq_d = np.asarray(ana["freq_d"])
+            # One packed fetch (one relay roundtrip) for both tables.
+            freqs = np.asarray(ana["freqs"])  # (bsz, SB, 288 + 30)
+            freq_ll = freqs[..., :288]
+            freq_d = freqs[..., 288:]
         with maybe_stage("host_plan"):
             plans = [
                 huffman_host.build_chunk_plan(
@@ -220,8 +222,9 @@ def _encode_segments(
 
                 buf = ana["_host_buf"]
                 vends = ana["_host_valid_ends"]
-                mlen_np = np.asarray(ana["mlen"])
-                mdist_np = np.asarray(ana["mdist"])
+                mm = np.asarray(ana["mm_packed"])  # one half-size fetch
+                mlen_np = mm >> 16
+                mdist_np = mm & 0xFFFF
                 nn = buf.shape[1]
                 bounds = deflate_encoder.sub_block_bounds(nn)
                 sbn = len(bounds) - 1
@@ -340,10 +343,8 @@ def _encode_segments(
                 # on a mesh; only compact the single-device path.
                 compact=compact,
             )
-        cks = (
-            (ana["adler"], ana["crc"]) if with_checksums else None
-        )
-        return sl, plans, res, cks
+        cks = ana["cks"] if with_checksums else None
+        return sl, plans, res, cks, kbm
 
     segments: list[bytes] = []
     blocks: list[list[tuple[int, int]]] = []
@@ -363,24 +364,32 @@ def _encode_segments(
             return (nbits + 7) // 8 <= stored_len
         return (nbits + 10) // 8 + 4 <= stored_len
 
-    def finish(sl, plans, res, cks):
+    def finish(sl, plans, res, cks, kbm):
         b0, b1 = sl
-        # Fetch the bit counts first, then only the used prefix of the
+        # Fetch the packed metadata first (ONE roundtrip: bit counts,
+        # sub-block offsets, anchors), then only the used prefix of the
         # word buffers (device->host bandwidth is the scarce resource;
         # the padded buffers are ~2.5x the compressed size).
         with maybe_stage("emit_fetch"):
-            nbits_np = np.asarray(res["nbits"])
-            sb_bits_np = np.asarray(res["sb_bits"])
-            sb_out_np = np.asarray(res["sb_out"])
-            anc_bit_np = np.asarray(res["anc_bit"])
-            anc_out_np = np.asarray(res["anc_out"])
+            sbw = res["sb_bits"].shape[1]
+            aw = res["anc_bit"].shape[1]
+            meta = np.asarray(res["meta"])
+            nbits_np = meta[:, 0]
+            sb_bits_np = meta[:, 1 : 1 + sbw]
+            sb_out_np = meta[:, 1 + sbw : 1 + 2 * sbw]
+            anc_bit_np = meta[:, 1 + 2 * sbw : 1 + 2 * sbw + aw]
+            anc_out_np = meta[:, 1 + 2 * sbw + aw :]
             keep = [
                 host_keep(b0 + j, int(nbits_np[j])) for j in range(b1 - b0)
             ]
             if "flat_words" in res:
                 # Compacted emit: fetch exactly the used words of the
-                # whole batch in one dense transfer.
-                cnt_np = np.asarray(res["word_cnt"]).astype(np.int64)
+                # whole batch in one dense transfer. The per-chunk word
+                # counts are recomputed from nbits with the same rule
+                # the device used (no word_cnt fetch).
+                cnt_np = ((nbits_np + 3 + 31) // 32).astype(np.int64)
+                if kbm is not None:
+                    cnt_np = np.where(nbits_np <= kbm, cnt_np, 0)
                 w_off = np.concatenate([[0], np.cumsum(cnt_np)])
                 flat_np = np.asarray(
                     res["flat_words"][: int(w_off[-1])], dtype="<u4"
@@ -408,8 +417,9 @@ def _encode_segments(
                 )
                 chunk_words = [words_np[j] for j in range(b1 - b0)]
         if with_checksums:
-            adlers.extend(int(x) for x in np.asarray(cks[0])[: b1 - b0])
-            crcs.extend(int(x) for x in np.asarray(cks[1])[: b1 - b0])
+            vals = np.asarray(cks)  # (bsz, 2): one roundtrip
+            adlers.extend(int(x) for x in vals[: b1 - b0, 0])
+            crcs.extend(int(x) for x in vals[: b1 - b0, 1])
         for j in range(b1 - b0):
             i = b0 + j
             nbits = int(nbits_np[j])

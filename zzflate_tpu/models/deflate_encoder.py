@@ -511,6 +511,11 @@ def analyze_chunks_batch(data, starts, valid_ends, window_starts, params,
     out = {
         "freq_ll": freq_ll,  # (B, SB, 288)
         "freq_d": freq_d,    # (B, SB, 30)
+        # One packed buffer so the host needs a single device->host
+        # fetch per batch (each fetch is a full relay roundtrip on the
+        # tunneled platform — BASELINE.md): [..., :288] = freq_ll,
+        # [..., 288:] = freq_d.
+        "freqs": jnp.concatenate([freq_ll, freq_d], axis=2),
         "committed": committed,
         "is_match": is_match,
         "litlen_sym": litlen_sym,
@@ -519,6 +524,11 @@ def analyze_chunks_batch(data, starts, valid_ends, window_starts, params,
         "mlen": mlen,
         "mdist": mdist,
     }
+    if params.optimal:
+        # The host optimal-parse DP (levels 7-9) reads the raw candidate
+        # arrays; pack (mlen <= 258, mdist <= 32768) into one int32 so
+        # the host fetches half the bytes in one roundtrip.
+        out["mm_packed"] = (mlen << jnp.int32(16)) | mdist
     if with_checksums:
         from zzflate_tpu.ops import checksums as cs
 
@@ -528,6 +538,8 @@ def analyze_chunks_batch(data, starts, valid_ends, window_starts, params,
         out["crc"] = jax.vmap(
             lambda d, e, s: cs._crc32_impl(d, e, s)
         )(data, valid_ends, starts)
+        # Same single-fetch packing: [:, 0] = adler, [:, 1] = crc.
+        out["cks"] = jnp.stack([out["adler"], out["crc"]], axis=1)
     return out
 
 
@@ -733,6 +745,17 @@ def emit_chunks_batch(
         out["flat_words"] = flat
         out["word_cnt"] = cnt
         del out["words"]  # don't keep (or fetch) the padded buffers
+    # One packed int32 buffer covering every small per-batch output, so
+    # the host pays ONE fetch roundtrip instead of five (BASELINE.md:
+    # each device->host fetch is a full relay roundtrip). Layout along
+    # axis 1: [nbits | sb_bits | sb_out | anc_bit | anc_out].
+    out["meta"] = jnp.concatenate(
+        [
+            out["nbits"][:, None], out["sb_bits"], out["sb_out"],
+            out["anc_bit"], out["anc_out"],
+        ],
+        axis=1,
+    ).astype(jnp.int32)
     return out
 
 
