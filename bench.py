@@ -192,6 +192,21 @@ def main() -> None:
     best = min(times)
     mbps = mb / best
 
+    # Emit the headline JSON line FIRST: first compiles through the
+    # remote relay can take tens of minutes, and an external timeout
+    # during the decode section below must not destroy the encode
+    # metric already measured.
+    record = {
+        "metric": "encode_MBps_level6",
+        "value": round(mbps, 2),
+        "unit": "MB/s",
+        "vs_baseline": round(mbps / zlib_mbps, 3),
+    }
+    if platform_note:
+        record["note"] = platform_note
+    print(json.dumps(record), flush=True)
+    print(f"stages_ms={json.dumps(stages)}", file=sys.stderr, flush=True)
+
     # Decode-side numbers (stderr detail): native C path + TPU indexed path.
     t0 = time.perf_counter()
     back = zf.decompress(out, format="gzip")
@@ -224,16 +239,6 @@ def main() -> None:
         f"dec_tpu={dec_tpu:.2f}MB/s",
         file=sys.stderr,
     )
-    print(f"stages_ms={json.dumps(stages)}", file=sys.stderr)
-    record = {
-        "metric": "encode_MBps_level6",
-        "value": round(mbps, 2),
-        "unit": "MB/s",
-        "vs_baseline": round(mbps / zlib_mbps, 3),
-    }
-    if platform_note:
-        record["note"] = platform_note
-    print(json.dumps(record))
 
 
 if __name__ == "__main__":
