@@ -1,0 +1,143 @@
+"""Native one-shot deflate encoder (native/zzflate_native.c zzt_deflate).
+
+The host-side serving engine: every output must decode bit-exactly via
+system zlib (the repo-wide oracle contract), across levels, formats,
+window sizes, dictionaries and corner inputs, at ratios comparable to
+zlib at the same level (SURVEY.md C5-C14, Appendix B effort table).
+"""
+import os
+import zlib
+
+import numpy as np
+import pytest
+
+import zzflate_tpu as zf
+from zzflate_tpu import native
+
+if native.lib() is None:  # pragma: no cover - gcc is in the image
+    pytest.skip("native library unavailable", allow_module_level=True)
+
+
+def _corpus(n: int, seed: int = 0) -> bytes:
+    rng = np.random.default_rng(seed)
+    text = (b"a reasonably repetitive line of test text %d\n" % seed) * (
+        n // 90 + 1
+    )
+    noise = rng.integers(0, 256, size=n // 3 + 1, dtype=np.uint8).tobytes()
+    return (text[: n - len(noise)] + noise)[:n]
+
+
+@pytest.mark.parametrize("level", [1, 4, 6, 9])
+def test_roundtrip_levels(level):
+    data = _corpus(150000, seed=level)
+    raw = native.deflate_raw(data, level=level)
+    assert zlib.decompress(raw, wbits=-15) == data
+
+
+@pytest.mark.parametrize(
+    "data",
+    [
+        b"",
+        b"x",
+        b"abc",
+        b"\x00" * 100000,
+        b"ab" * 40000,                      # dist-2 runs
+        bytes(range(256)) * 300,            # low-redundancy structured
+    ],
+    ids=["empty", "one", "three", "zeros", "dist2", "cycle"],
+)
+def test_corner_inputs(data):
+    for level in (1, 6, 9):
+        raw = native.deflate_raw(data, level=level)
+        assert zlib.decompress(raw, wbits=-15) == data
+
+
+def test_incompressible_stored_fallback():
+    data = os.urandom(200000)
+    raw = native.deflate_raw(data, level=6)
+    assert zlib.decompress(raw, wbits=-15) == data
+    # stored framing: blocks close at 64 KiB of input and 65536 > 65535
+    # splits each into two pieces -> ~10 bytes per 64 KiB block + slack
+    assert len(raw) <= len(data) + 10 * (len(data) // 65536 + 2) + 8
+
+
+def test_ratio_close_to_zlib():
+    data = open("/usr/include/zlib.h", "rb").read() * 3
+    for level in (1, 6, 9):
+        ours = len(native.deflate_raw(data, level=level))
+        zref = len(zlib.compress(data, level)) - 6  # strip zlib container
+        assert ours <= zref * 1.02, (level, ours, zref)
+
+
+def test_level_monotone_effort():
+    data = _corpus(300000, seed=3)
+    sizes = [len(native.deflate_raw(data, level=l)) for l in (1, 6, 9)]
+    assert sizes[2] <= sizes[0]  # L9 never worse than L1
+
+
+def test_dictionary():
+    text = (b"the quick brown fox jumps over the lazy dog; " * 3000)
+    d, body = text[:20000], text[20000:]
+    raw = native.deflate_raw(body, level=6, dictionary=d)
+    o = zlib.decompressobj(wbits=-15, zdict=d)
+    assert o.decompress(raw) + o.flush() == body
+    assert len(raw) < len(native.deflate_raw(body, level=6))
+
+
+@pytest.mark.parametrize("wbits", [9, 12, 15])
+def test_window_clamp(wbits):
+    data = _corpus(120000, seed=wbits)
+    raw = native.deflate_raw(data, level=6, max_dist=1 << wbits)
+    o = zlib.decompressobj(wbits=-wbits)
+    assert o.decompress(raw) + o.flush() == data
+
+
+def test_nonfinal_stream_concatenates():
+    a, b = _corpus(50000, 1), _corpus(50000, 2)
+    raw = native.deflate_raw(a, level=6, final=False) + native.deflate_raw(
+        b, level=6, final=True, dictionary=a
+    )
+    assert zlib.decompress(raw, wbits=-15) == a + b
+
+
+def test_api_engine_native_all_formats():
+    data = _corpus(80000, seed=9)
+    for fmt, wb in (("zlib", 15), ("gzip", 31), ("raw", -15)):
+        out = zf.compress(data, level=6, format=fmt, engine="native")
+        assert zlib.decompress(out, wbits=wb) == data
+        assert zf.decompress(out, format=fmt) == data
+    # dictionary through the zlib container (FDICT/DICTID)
+    d = data[:4000]
+    out = zf.compress(data, level=6, format="zlib", dictionary=d,
+                      engine="native")
+    o = zlib.decompressobj(zdict=d)
+    assert o.decompress(out) + o.flush() == data
+    # our own inflate handles it too
+    assert zf.decompress(out, format="zlib", dictionary=d) == data
+
+
+def test_api_engine_native_rejects_device_only_features():
+    with pytest.raises(ValueError):
+        zf.compress(b"x", format="gzip", indexed=True, engine="native")
+    with pytest.raises(ValueError):
+        zf.compress(b"x", strategy=1, engine="native")
+    with pytest.raises(ValueError):
+        zf.compress(b"x", engine="bogus")
+
+
+def test_api_engine_native_level0_and_bound():
+    for n in (0, 1, 70000):
+        data = os.urandom(n)
+        out = zf.compress(data, level=0, format="gzip", engine="native")
+        assert zlib.decompress(out, wbits=31) == data
+        out6 = zf.compress(data, level=6, format="gzip", engine="native")
+        assert zlib.decompress(out6, wbits=31) == data
+        assert len(out6) <= zf.compress_bound(n, "gzip")
+
+
+def test_own_inflate_decodes_native_streams():
+    # cross-engine: native encode -> every decode engine
+    data = _corpus(60000, seed=11)
+    out = zf.compress(data, level=7, format="gzip", engine="native")
+    assert zf.decompress(out, format="gzip", engine="native") == data
+    assert zf.decompress(out, format="gzip", engine="tpu") == data

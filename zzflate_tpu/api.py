@@ -510,6 +510,7 @@ def compress(
     indexed: bool = False,
     window_bits: int = 15,
     mem_level: int = 8,
+    engine: str = "tpu",
 ) -> bytes:
     """One-shot compress to a zlib/gzip/raw stream (decodable by zlib).
 
@@ -518,6 +519,13 @@ def compress(
     every standard reader, while our TPU inflate uses the index for
     chunk-parallel decode (models/inflate_tpu.py). window_bits 8..15
     bounds match distances to 2^window_bits (zlib.h:551-556 contract).
+
+    engine="tpu" (default) runs the device pipeline; engine="native"
+    runs the one-shot C encoder (native/zzflate_native.c zzt_deflate) —
+    the host-side serving path for payloads where a device dispatch is
+    all latency. The native engine covers levels 0-9, formats,
+    window_bits and dictionaries; indexed output and non-default
+    strategies require the device pipeline.
     """
     data = bytes(data)
     config = CodecConfig(
@@ -528,10 +536,33 @@ def compress(
         raise ValueError("gzip streams cannot carry a preset dictionary")
     if indexed and format != "gzip":
         raise ValueError("indexed output requires format='gzip'")
+    if engine not in ("tpu", "native"):
+        raise ValueError(f"unknown engine {engine!r}")
+    if engine == "native":
+        if indexed:
+            raise ValueError("indexed output requires engine='tpu'")
+        if strategy != cfg_mod.STRATEGY_DEFAULT:
+            raise ValueError(
+                "non-default strategies require engine='tpu'"
+            )
 
     segments: list[bytes] | None = None
     if level == 0:
         payload = containers.stored_segment(data, final=True)
+    elif engine == "native":
+        from zzflate_tpu import native as _native
+
+        payload = _native.deflate_raw(
+            data, level=level, dictionary=dictionary or b"",
+            max_dist=min(32768, 1 << config.window_bits), final=True,
+        )
+        # Whole-stream stored fallback keeps the compress_bound contract
+        # (the native encoder's per-64 KiB blocks each add ~10 framing
+        # bytes on incompressible data; one whole-stream stored run is
+        # the contract's worst case).
+        stored_whole = containers.stored_segment(data, final=True)
+        if len(stored_whole) < len(payload):
+            payload = stored_whole
     else:
         enc = _encode_segments(
             data, config, dictionary, with_anchors=indexed

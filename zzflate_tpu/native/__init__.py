@@ -118,6 +118,19 @@ def lib() -> ctypes.CDLL | None:
             ctypes.c_void_p,          # take out (uint8*)
             ctypes.c_void_p,          # sel_len out (int32*)
         ]
+        L.zzt_deflate.restype = ctypes.c_int
+        L.zzt_deflate.argtypes = [
+            ctypes.c_char_p,          # in
+            ctypes.c_size_t,          # n
+            ctypes.c_int,             # level
+            ctypes.c_char_p,          # dict
+            ctypes.c_size_t,          # dict_len
+            ctypes.c_int32,           # max_dist
+            ctypes.c_int,             # final
+            ctypes.c_void_p,          # out
+            ctypes.c_size_t,          # out_cap
+            ctypes.POINTER(ctypes.c_size_t),  # out_len
+        ]
         _lib = L
         return _lib
 
@@ -264,3 +277,39 @@ def optimal_parse(data, mlen, mdist, start, end, ll_bits, d_bits, bounds):
     if rc != 0:
         raise RuntimeError(f"zzt_optimal_parse failed: {rc}")
     return committed.astype(bool), take.astype(bool), sel_len
+
+
+def deflate_raw(
+    data: bytes,
+    level: int = 6,
+    dictionary: bytes = b"",
+    max_dist: int = 32768,
+    final: bool = True,
+) -> bytes:
+    """Native one-shot raw-deflate encode (zzt_deflate).
+
+    The host-side engine companion to the TPU pipeline: hash-chain
+    matcher with the classic good/lazy/nice/chain effort table, exact
+    per-64 KiB stored/fixed/dynamic choice (SURVEY.md C5-C14). Returns
+    raw DEFLATE bits; callers add containers. final=False closes with a
+    sync-flush empty stored block (byte-aligned, Z_SYNC_FLUSH framing)
+    so segments concatenate into one valid stream. Raises RuntimeError
+    when the native library is unavailable.
+    """
+    L = lib()
+    if L is None:
+        raise RuntimeError("native library unavailable")
+    dictionary = dictionary[-32768:]
+    n = len(data)
+    # Stored-fallback bound + per-64KiB block headers + slack.
+    cap = n + 5 * (n // 65535 + 2) + (n // 65536 + 2) * 320 + 1024
+    buf = ctypes.create_string_buffer(cap)
+    out_len = ctypes.c_size_t(0)
+    rc = L.zzt_deflate(
+        data, n, int(level), dictionary, len(dictionary),
+        int(max_dist), 1 if final else 0,
+        ctypes.byref(buf), cap, ctypes.byref(out_len),
+    )
+    if rc != 0:
+        raise RuntimeError(f"zzt_deflate failed: {rc}")
+    return ctypes.string_at(ctypes.addressof(buf), out_len.value)

@@ -633,3 +633,612 @@ int zzt_optimal_parse(const uint8_t *data, const int32_t *mlen,
   free(choice);
   return 0;
 }
+
+/* ---------------------------------------------------------------------------
+ * Deflate ENCODER (one-shot, host-side engine).
+ *
+ * The TPU pipeline (models/deflate_encoder.py) is the production encoder;
+ * this native encoder serves payloads where a device dispatch is all
+ * latency (small buffers, host-only callers) and completes the native
+ * runtime alongside the inflate above.  Written from scratch against the
+ * RFC 1951 contract (SURVEY.md Appendix A): hash-chain candidate lookup
+ * with the classic good/lazy/nice/chain effort table (SURVEY.md Appendix
+ * B), greedy (levels 1-3) or one-byte-defer lazy (4-9) commit, per-64 KiB
+ * blocks with exact stored/fixed/dynamic cost choice, two-queue
+ * length-limited Huffman (the huffman_host.py algorithm in C), CL-RLE
+ * header, LSB-first bit packing.  Emits RAW deflate; containers are
+ * byte-level host work (utils/containers.py).
+ * ------------------------------------------------------------------------- */
+
+/* ---- bit writer (LSB-first within each byte, SURVEY.md A.1) ---- */
+typedef struct {
+  uint8_t *out;
+  size_t cap, pos;
+  uint64_t acc;
+  int nbits;
+  int overflow;
+} zw_t;
+
+static void zw_init(zw_t *w, uint8_t *out, size_t cap) {
+  w->out = out;
+  w->cap = cap;
+  w->pos = 0;
+  w->acc = 0;
+  w->nbits = 0;
+  w->overflow = 0;
+}
+
+static inline void zw_put(zw_t *w, uint32_t v, int n) {
+  w->acc |= (uint64_t)(v & ((n < 32 ? (1u << n) : 0u) - 1u)) << w->nbits;
+  w->nbits += n;
+  while (w->nbits >= 8) {
+    if (w->pos < w->cap)
+      w->out[w->pos] = (uint8_t)w->acc;
+    else
+      w->overflow = 1;
+    w->pos++;
+    w->acc >>= 8;
+    w->nbits -= 8;
+  }
+}
+
+static void zw_align(zw_t *w) {
+  if (w->nbits) zw_put(w, 0, 8 - w->nbits);
+}
+
+/* ---- length-limited canonical code lengths ----
+ * Two-queue merge over frequency-sorted leaves, then integer-Kraft
+ * repair to the cap (same algorithm as ops/huffman_host.code_lengths). */
+typedef struct {
+  uint32_t freq;
+  int sym;
+} zh_leaf_t;
+
+static int zh_leaf_cmp(const void *a, const void *b) {
+  const zh_leaf_t *x = (const zh_leaf_t *)a, *y = (const zh_leaf_t *)b;
+  if (x->freq != y->freq) return x->freq < y->freq ? -1 : 1;
+  return x->sym - y->sym;
+}
+
+static void zh_lengths(const uint32_t *freq, int n, int cap, uint8_t *lens) {
+  zh_leaf_t leaves[320];
+  int used = 0;
+  memset(lens, 0, (size_t)n);
+  for (int s = 0; s < n; s++)
+    if (freq[s]) {
+      leaves[used].freq = freq[s];
+      leaves[used].sym = s;
+      used++;
+    }
+  if (used == 0) return;
+  if (used == 1) {
+    lens[leaves[0].sym] = 1;
+    return;
+  }
+  qsort(leaves, (size_t)used, sizeof(zh_leaf_t), zh_leaf_cmp);
+
+  /* Two-queue merge: leaves (sorted) + internal nodes (created in
+   * non-decreasing weight order -> a FIFO).  nodes[k] = weight; par[k]
+   * = parent index (into the internal array, offset by `used`). */
+  uint64_t iw[640];
+  int ipar[640], lpar[320];
+  int li = 0, ii_head = 0, ii_tail = 0;
+  for (int t = 0; t < used - 1; t++) { /* exactly used-1 internal nodes */
+    uint64_t w2 = 0;
+    int kids[2];
+    for (int k = 0; k < 2; k++) {
+      int take_leaf =
+          li < used &&
+          (ii_head >= ii_tail || leaves[li].freq <= iw[ii_head]);
+      if (take_leaf) {
+        kids[k] = li; /* leaf id */
+        li++;
+      } else {
+        kids[k] = used + ii_head; /* internal id */
+        ii_head++;
+      }
+      w2 += kids[k] < used ? (uint64_t)leaves[kids[k]].freq
+                           : iw[kids[k] - used];
+    }
+    iw[ii_tail] = w2;
+    ipar[ii_tail] = -1;
+    for (int k = 0; k < 2; k++) {
+      if (kids[k] < used)
+        lpar[kids[k]] = ii_tail;
+      else
+        ipar[kids[k] - used] = ii_tail;
+    }
+    ii_tail++;
+  }
+  /* Depth of each internal node (root = last created, depth 0). */
+  int idep[640];
+  idep[ii_tail - 1] = 0;
+  for (int k = ii_tail - 2; k >= 0; k--) idep[k] = idep[ipar[k]] + 1;
+  int over = 0;
+  for (int l = 0; l < used; l++) {
+    int d = idep[lpar[l]] + 1;
+    if (d > cap) {
+      d = cap;
+      over = 1;
+    }
+    lens[leaves[l].sym] = (uint8_t)d;
+  }
+  if (!over) return;
+
+  /* Integer-Kraft repair: units of 2^(cap - len); budget 2^cap.  Deepen
+   * the shallowest-cost symbols (smallest freq at len < cap) until the
+   * code fits, then try to shorten from the most frequent down. */
+  int64_t budget = (int64_t)1 << cap;
+  int64_t ksum = 0;
+  for (int l = 0; l < used; l++)
+    ksum += (int64_t)1 << (cap - lens[leaves[l].sym]);
+  /* leaves[] is sorted by ascending freq: lengthen cheap symbols first. */
+  while (ksum > budget) {
+    for (int l = 0; l < used && ksum > budget; l++) {
+      int s = leaves[l].sym;
+      if (lens[s] < cap) {
+        ksum -= (int64_t)1 << (cap - lens[s] - 1);
+        lens[s]++;
+      }
+    }
+  }
+  /* Give back slack to the most frequent symbols (optimality polish). */
+  for (int l = used - 1; l >= 0; l--) {
+    int s = leaves[l].sym;
+    while (lens[s] > 1 &&
+           ksum + ((int64_t)1 << (cap - lens[s])) <= budget) {
+      ksum += (int64_t)1 << (cap - lens[s]);
+      lens[s]--;
+    }
+  }
+}
+
+/* Canonical codes from lengths (RFC 1951 3.2.2), bit-reversed for the
+ * LSB-first writer. */
+static void zh_codes(const uint8_t *lens, int n, uint16_t *codes) {
+  int bl_count[16] = {0};
+  for (int s = 0; s < n; s++) bl_count[lens[s]]++;
+  bl_count[0] = 0;
+  uint32_t next[16] = {0};
+  uint32_t code = 0;
+  for (int b = 1; b <= 15; b++) {
+    code = (code + (uint32_t)bl_count[b - 1]) << 1;
+    next[b] = code;
+  }
+  for (int s = 0; s < n; s++) {
+    int l = lens[s];
+    if (!l) {
+      codes[s] = 0;
+      continue;
+    }
+    uint32_t c = next[l]++;
+    uint32_t r = 0;
+    for (int b = 0; b < l; b++) r = (r << 1) | ((c >> b) & 1u);
+    codes[s] = (uint16_t)r;
+  }
+}
+
+/* ---- dynamic block header: CL-RLE the lens, code the 19-sym CL
+ * alphabet, emit HLIT/HDIST/HCLEN + CL lens in the magic order
+ * (SURVEY.md A.4).  Returns header cost in bits via *bits (codes==NULL
+ * prices without writing). ---- */
+static void zh_cl_rle(const uint8_t *lens, int n, uint8_t *rle_sym,
+                      uint8_t *rle_extra, int *rle_n) {
+  int m = 0, i = 0;
+  while (i < n) {
+    uint8_t v = lens[i];
+    int run = 1;
+    while (i + run < n && lens[i + run] == v) run++;
+    i += run;
+    if (v == 0) {
+      while (run >= 3) {
+        int take = run > 138 ? 138 : run;
+        if (take >= 11) {
+          rle_sym[m] = 18;
+          rle_extra[m++] = (uint8_t)(take - 11);
+        } else {
+          rle_sym[m] = 17;
+          rle_extra[m++] = (uint8_t)(take - 3);
+        }
+        run -= take;
+      }
+      while (run-- > 0) {
+        rle_sym[m] = 0;
+        rle_extra[m++] = 0;
+      }
+    } else {
+      rle_sym[m] = v;
+      rle_extra[m++] = 0;
+      run--;
+      while (run >= 3) {
+        int take = run > 6 ? 6 : run;
+        rle_sym[m] = 16;
+        rle_extra[m++] = (uint8_t)(take - 3);
+        run -= take;
+      }
+      while (run-- > 0) {
+        rle_sym[m] = v;
+        rle_extra[m++] = 0;
+      }
+    }
+  }
+  *rle_n = m;
+}
+
+/* ---- fixed-tree lengths (SURVEY.md A.5) ---- */
+static void zd_fixed_lens(uint8_t *ll, uint8_t *d) {
+  int i;
+  for (i = 0; i < 144; i++) ll[i] = 8;
+  for (; i < 256; i++) ll[i] = 9;
+  for (; i < 280; i++) ll[i] = 7;
+  for (; i < 288; i++) ll[i] = 8;
+  for (i = 0; i < 30; i++) d[i] = 5;
+}
+
+/* length (3..258) -> length code 0..28; dist -> dist code 0..29 */
+static uint8_t g_len2code[259];
+static int g_len2code_ready = 0;
+static void zd_init_len2code(void) {
+  for (int c = 0; c < 29; c++) {
+    int lo = LBASE[c];
+    int hi = (c < 28) ? LBASE[c] + (1 << LEXT[c]) - 1 : 258;
+    if (c == 27 && hi > 257) hi = 257; /* 258 belongs to code 285 */
+    for (int L = lo; L <= hi && L <= 258; L++) g_len2code[L] = (uint8_t)c;
+  }
+  g_len2code[258] = 28;
+  g_len2code_ready = 1;
+}
+
+static inline int zd_dist_code(int dist) {
+  int lo = 0, hi = 29;
+  while (lo < hi) {
+    int mid = (lo + hi + 1) >> 1;
+    if (DBASE[mid] <= dist) lo = mid;
+    else hi = mid - 1;
+  }
+  return lo;
+}
+
+/* One block's tokens. */
+typedef struct {
+  uint16_t *len;  /* 0 => literal */
+  uint16_t *dist;
+  uint8_t *lit;
+  int ntok;
+} zblk_t;
+
+/* Emit one block (choosing stored/fixed/dynamic by exact bit cost). */
+static void zd_emit_block(zw_t *w, const uint8_t *buf, int64_t in_start,
+                          int64_t in_end, const zblk_t *blk, int final) {
+  uint32_t fll[288] = {0}, fd[30] = {0};
+  uint64_t extra_bits = 0;
+  if (!g_len2code_ready) zd_init_len2code();
+  for (int t = 0; t < blk->ntok; t++) {
+    if (blk->len[t] == 0) {
+      fll[blk->lit[t]]++;
+    } else {
+      int lc = g_len2code[blk->len[t]];
+      int dc = zd_dist_code(blk->dist[t]);
+      fll[257 + lc]++;
+      fd[dc]++;
+      extra_bits += (uint64_t)LEXT[lc] + DEXT[dc];
+    }
+  }
+  fll[256]++;
+  /* Decodable-tree guarantees (same rules as huffman_host.build_block). */
+  {
+    int used = 0;
+    for (int s = 0; s < 288; s++) used += fll[s] != 0;
+    if (used < 2 && fll[0] == 0) fll[0] = 1;
+    int usedd = 0;
+    for (int s = 0; s < 30; s++) usedd += fd[s] != 0;
+    if (usedd == 0) fd[0] = 1;
+    else if (usedd < 2) fd[fd[0] ? 1 : 0] = fd[fd[0] ? 1 : 0] ? fd[fd[0] ? 1 : 0] : 1;
+  }
+  uint8_t ll_len[288], d_len[30], fx_ll[288], fx_d[30];
+  zh_lengths(fll, 286, 15, ll_len);
+  ll_len[286] = ll_len[287] = 0;
+  zh_lengths(fd, 30, 15, d_len);
+  zd_fixed_lens(fx_ll, fx_d);
+
+  uint64_t body_dyn = extra_bits, body_fix = extra_bits;
+  for (int s = 0; s < 288; s++) {
+    body_dyn += (uint64_t)fll[s] * ll_len[s];
+    body_fix += (uint64_t)fll[s] * fx_ll[s];
+  }
+  for (int s = 0; s < 30; s++) {
+    body_dyn += (uint64_t)fd[s] * d_len[s];
+    body_fix += (uint64_t)fd[s] * 5u;
+  }
+
+  /* Dynamic header: HLIT/HDIST trims, CL-RLE, 7-bit-capped CL code. */
+  int hlit = 286;
+  while (hlit > 257 && ll_len[hlit - 1] == 0) hlit--;
+  int hdist = 30;
+  while (hdist > 1 && d_len[hdist - 1] == 0) hdist--;
+  uint8_t seq[318], rle_sym[318], rle_extra[318];
+  memcpy(seq, ll_len, (size_t)hlit);
+  memcpy(seq + hlit, d_len, (size_t)hdist);
+  int rle_n = 0;
+  zh_cl_rle(seq, hlit + hdist, rle_sym, rle_extra, &rle_n);
+  uint32_t clfreq[19] = {0};
+  for (int t = 0; t < rle_n; t++) clfreq[rle_sym[t]]++;
+  uint8_t cl_len[19];
+  zh_lengths(clfreq, 19, 7, cl_len);
+  {
+    int usedc = 0;
+    for (int s = 0; s < 19; s++) usedc += cl_len[s] != 0;
+    if (usedc == 1) { /* single CL symbol: give it an explicit 1-bit code */
+      for (int s = 0; s < 19; s++)
+        if (cl_len[s]) cl_len[s] = 1;
+    }
+  }
+  int hclen = 19;
+  while (hclen > 4 && cl_len[CLORD[hclen - 1]] == 0) hclen--;
+  uint64_t hdr_dyn = 5 + 5 + 4 + 3u * (uint64_t)hclen;
+  for (int t = 0; t < rle_n; t++) {
+    hdr_dyn += cl_len[rle_sym[t]];
+    if (rle_sym[t] == 16) hdr_dyn += 2;
+    else if (rle_sym[t] == 17) hdr_dyn += 3;
+    else if (rle_sym[t] == 18) hdr_dyn += 7;
+  }
+
+  int64_t blen = in_end - in_start;
+  int64_t npieces = blen ? (blen + 65534) / 65535 : 1;
+  /* stored: 3-bit type, align to byte, then 4 header bytes + data per
+   * piece (alignment depends on current writer position). */
+  uint64_t wpos_bits = w->pos * 8ull + (uint64_t)w->nbits;
+  uint64_t align_pad = (8 - ((wpos_bits + 3) & 7)) & 7;
+  uint64_t cost_stored = 3 + align_pad + (uint64_t)npieces * 32 +
+                         (uint64_t)blen * 8 +
+                         (uint64_t)(npieces - 1) * 8; /* later type bytes */
+  uint64_t cost_fix = 3 + body_fix;
+  uint64_t cost_dyn = 3 + hdr_dyn + body_dyn;
+
+  if (cost_stored <= cost_fix && cost_stored <= cost_dyn) {
+    int64_t off = in_start;
+    for (int64_t p = 0; p < npieces; p++) {
+      int64_t take = blen - (off - in_start);
+      if (take > 65535) take = 65535;
+      int last = (p == npieces - 1);
+      zw_put(w, (final && last) ? 1u : 0u, 1);
+      zw_put(w, 0, 2);
+      zw_align(w);
+      zw_put(w, (uint32_t)take, 16);
+      zw_put(w, (uint32_t)take ^ 0xFFFFu, 16);
+      for (int64_t j = 0; j < take; j++) zw_put(w, buf[off + j], 8);
+      off += take;
+    }
+    return;
+  }
+
+  const uint8_t *ull = ll_len, *ud = d_len;
+  uint16_t llc[288], dc_[30];
+  int dynamic = cost_dyn < cost_fix;
+  if (!dynamic) {
+    ull = fx_ll;
+    ud = fx_d;
+  }
+  zh_codes(ull, 288, llc);
+  zh_codes(ud, 30, dc_);
+
+  zw_put(w, final ? 1u : 0u, 1);
+  zw_put(w, dynamic ? 2u : 1u, 2);
+  if (dynamic) {
+    zw_put(w, (uint32_t)(hlit - 257), 5);
+    zw_put(w, (uint32_t)(hdist - 1), 5);
+    zw_put(w, (uint32_t)(hclen - 4), 4);
+    for (int t = 0; t < hclen; t++) zw_put(w, cl_len[CLORD[t]], 3);
+    uint16_t clc[19];
+    zh_codes(cl_len, 19, clc);
+    for (int t = 0; t < rle_n; t++) {
+      int s = rle_sym[t];
+      zw_put(w, clc[s], cl_len[s]);
+      if (s == 16) zw_put(w, rle_extra[t], 2);
+      else if (s == 17) zw_put(w, rle_extra[t], 3);
+      else if (s == 18) zw_put(w, rle_extra[t], 7);
+    }
+  }
+  for (int t = 0; t < blk->ntok; t++) {
+    if (blk->len[t] == 0) {
+      int s = blk->lit[t];
+      zw_put(w, llc[s], ull[s]);
+    } else {
+      int lc = g_len2code[blk->len[t]];
+      int s = 257 + lc;
+      zw_put(w, llc[s], ull[s]);
+      if (LEXT[lc]) zw_put(w, (uint32_t)(blk->len[t] - LBASE[lc]), LEXT[lc]);
+      int dcd = zd_dist_code(blk->dist[t]);
+      zw_put(w, dc_[dcd], ud[dcd]);
+      if (DEXT[dcd])
+        zw_put(w, (uint32_t)(blk->dist[t] - DBASE[dcd]), DEXT[dcd]);
+    }
+  }
+  zw_put(w, llc[256], ull[256]);
+}
+
+/* ---- hash-chain matcher + greedy/lazy drive (SURVEY.md C5-C7, App. B) */
+#define ZD_HBITS 15
+#define ZD_HSIZE (1 << ZD_HBITS)
+
+typedef struct {
+  int good, lazy, nice, chain, greedy;
+} zd_cfg_t;
+
+/* Levels 1-9: the classic effort table (SURVEY.md Appendix B). */
+static const zd_cfg_t ZD_CFG[10] = {
+    {0, 0, 0, 0, 1},        /* level 0 unused (stored handled by caller) */
+    {4, 4, 8, 4, 1},        {4, 5, 16, 8, 1},    {4, 6, 32, 32, 1},
+    {4, 4, 16, 16, 0},      {8, 16, 32, 32, 0},  {8, 16, 128, 128, 0},
+    {8, 32, 128, 256, 0},   {32, 128, 258, 1024, 0},
+    {32, 258, 258, 4096, 0},
+};
+
+static inline uint32_t zd_hash(const uint8_t *p) {
+  uint32_t v = ((uint32_t)p[0] << 16) | ((uint32_t)p[1] << 8) | p[2];
+  return (v * 2654435761u) >> (32 - ZD_HBITS);
+}
+
+typedef struct {
+  const uint8_t *buf;
+  int64_t total;
+  int32_t *head; /* ZD_HSIZE, -1 empty */
+  int32_t *prev; /* per position */
+} zd_mt_t;
+
+static inline void zd_insert(zd_mt_t *m, int64_t i) {
+  if (i + 3 > m->total) return;
+  uint32_t h = zd_hash(m->buf + i);
+  m->prev[i] = m->head[h];
+  m->head[h] = (int32_t)i;
+}
+
+static void zd_longest(const zd_mt_t *m, int64_t i, int chain, int nice,
+                       int32_t window, int *out_len, int *out_dist) {
+  int best = 2, bdist = 0;
+  int64_t limit = i - window;
+  if (limit < 0) limit = 0;
+  int64_t maxl = m->total - i;
+  if (maxl > 258) maxl = 258;
+  const uint8_t *p = m->buf + i;
+  int32_t cand = m->head[zd_hash(p)];
+  if (nice > (int)maxl) nice = (int)maxl;
+  while (cand >= limit && cand >= 0 && chain-- > 0) {
+    const uint8_t *q = m->buf + cand;
+    if (cand < i && q[best] == p[best] && q[0] == p[0]) {
+      int l = 0;
+      while (l < (int)maxl && q[l] == p[l]) l++;
+      if (l > best) {
+        best = l;
+        bdist = (int)(i - cand);
+        if (l >= nice) break;
+      }
+    }
+    cand = m->prev[cand];
+  }
+  if (best >= 3) {
+    *out_len = best;
+    *out_dist = bdist;
+  } else {
+    *out_len = 0;
+    *out_dist = 0;
+  }
+}
+
+/* One-shot raw-deflate encode.  dict seeds the window (positions before
+ * `in`); max_dist clamps match distances (windowBits 8..15 contract,
+ * zlib.h:551-556).  Returns 0 / ZZT_E_OUTFULL. */
+int zzt_deflate(const uint8_t *in, size_t n, int level, const uint8_t *dict,
+                size_t dict_len, int32_t max_dist, int final, uint8_t *out,
+                size_t out_cap, size_t *out_len) {
+  if (level < 1) level = 1;
+  if (level > 9) level = 9;
+  const zd_cfg_t cfg = ZD_CFG[level];
+  if (dict_len > 32768) {
+    dict += dict_len - 32768;
+    dict_len = 32768;
+  }
+  int32_t window = max_dist < 32768 ? max_dist : 32768;
+
+  int64_t total = (int64_t)dict_len + (int64_t)n;
+  uint8_t *buf = (uint8_t *)malloc((size_t)total + 8);
+  int32_t *head = (int32_t *)malloc(sizeof(int32_t) * ZD_HSIZE);
+  int32_t *prev = (int32_t *)malloc(sizeof(int32_t) * (size_t)(total + 1));
+  /* Block token buffers: a block closes at the first token START past
+   * 64 KiB of input, so it spans at most 64 KiB + 258 input bytes. */
+  int cap_tok = 65536 + 512;
+  uint16_t *tlen = (uint16_t *)malloc(sizeof(uint16_t) * (size_t)cap_tok);
+  uint16_t *tdist = (uint16_t *)malloc(sizeof(uint16_t) * (size_t)cap_tok);
+  uint8_t *tlit = (uint8_t *)malloc((size_t)cap_tok);
+  if (!buf || !head || !prev || !tlen || !tdist || !tlit) {
+    free(buf); free(head); free(prev); free(tlen); free(tdist); free(tlit);
+    return ZZT_E_OUTFULL;
+  }
+  if (dict_len) memcpy(buf, dict, dict_len);
+  if (n) memcpy(buf + dict_len, in, n);
+  memset(buf + total, 0, 8);
+  for (int64_t k = 0; k < ZD_HSIZE; k++) head[k] = -1;
+
+  zd_mt_t m = {buf, total, head, prev};
+  for (int64_t i = 0; i + 3 <= (int64_t)dict_len; i++) zd_insert(&m, i);
+
+  zw_t w;
+  zw_init(&w, out, out_cap);
+  zblk_t blk = {tlen, tdist, tlit, 0};
+  int64_t start = (int64_t)dict_len;
+  int64_t block_start = start;
+  int64_t i = start;
+  int have_prev = 0, prev_len = 0, prev_dist = 0;
+  int emitted_any = 0;
+
+  while (i < total) {
+    if (!have_prev && (i - block_start) >= 65536) {
+      zd_emit_block(&w, buf, block_start, i, &blk, 0);
+      emitted_any = 1;
+      blk.ntok = 0;
+      block_start = i;
+    }
+    int len = 0, dist = 0;
+    if (total - i >= 3) {
+      int ch = cfg.chain;
+      if (have_prev && prev_len >= cfg.good) ch >>= 2;
+      zd_longest(&m, i, ch, cfg.nice, window, &len, &dist);
+      if (len == 3 && dist > 4096) len = 0; /* zlib's TOO_FAR heuristic */
+    }
+    if (have_prev) {
+      if (len > prev_len) {
+        /* Better match one byte later: the deferred byte is a literal. */
+        blk.len[blk.ntok] = 0;
+        blk.lit[blk.ntok++] = buf[i - 1];
+        prev_len = len;
+        prev_dist = dist;
+        zd_insert(&m, i);
+        i++;
+      } else {
+        blk.len[blk.ntok] = (uint16_t)prev_len;
+        blk.dist[blk.ntok++] = (uint16_t)prev_dist;
+        for (int64_t j = i; j < i - 1 + prev_len; j++) zd_insert(&m, j);
+        i += prev_len - 1;
+        have_prev = 0;
+      }
+    } else if (len >= 3) {
+      if (cfg.greedy || len >= cfg.lazy) {
+        blk.len[blk.ntok] = (uint16_t)len;
+        blk.dist[blk.ntok++] = (uint16_t)dist;
+        for (int64_t j = i; j < i + len; j++) zd_insert(&m, j);
+        i += len;
+      } else {
+        have_prev = 1;
+        prev_len = len;
+        prev_dist = dist;
+        zd_insert(&m, i);
+        i++;
+      }
+    } else {
+      blk.len[blk.ntok] = 0;
+      blk.lit[blk.ntok++] = buf[i];
+      zd_insert(&m, i);
+      i++;
+    }
+  }
+  if (have_prev) { /* stream ended while deferring: emit the match */
+    blk.len[blk.ntok] = (uint16_t)prev_len;
+    blk.dist[blk.ntok++] = (uint16_t)prev_dist;
+  }
+  if (blk.ntok || !emitted_any || final)
+    zd_emit_block(&w, buf, block_start, total, &blk, final ? 1 : 0);
+  if (!final) {
+    /* Sync-flush framing (zlib.h:170-173 Z_SYNC_FLUSH): an empty stored
+     * block byte-aligns the stream so segments concatenate legally. */
+    zw_put(&w, 0, 3);
+    zw_align(&w);
+    zw_put(&w, 0x0000u, 16);
+    zw_put(&w, 0xFFFFu, 16);
+  }
+  zw_align(&w);
+
+  free(buf); free(head); free(prev); free(tlen); free(tdist); free(tlit);
+  if (w.overflow) return ZZT_E_OUTFULL;
+  *out_len = w.pos;
+  return ZZT_OK;
+}
