@@ -141,3 +141,54 @@ def test_own_inflate_decodes_native_streams():
     out = zf.compress(data, level=7, format="gzip", engine="native")
     assert zf.decompress(out, format="gzip", engine="native") == data
     assert zf.decompress(out, format="gzip", engine="tpu") == data
+
+
+def test_stream_compressor_native_engine():
+    """stream.Compressor(engine='native'): true incremental host encode
+    with window continuity across chunks and flush modes."""
+    from zzflate_tpu import stream as zs
+
+    c = zs.Compressor(level=6, format="zlib", chunk_bytes=8192,
+                      engine="native")
+    parts = [_corpus(20000, s) for s in range(4)]
+    out = bytearray()
+    for p in parts[:2]:
+        out += c.compress(p)
+    out += c.flush(zs.Z_SYNC_FLUSH)
+    out += c.compress(parts[2])
+    out += c.flush(zs.Z_FULL_FLUSH)  # window reset point
+    out += c.compress(parts[3])
+    out += c.flush(zs.Z_FINISH)
+    assert zlib.decompress(bytes(out)) == b"".join(parts)
+
+    # piecewise decode across the flush points too
+    d = zlib.decompressobj()
+    got = d.decompress(bytes(out))
+    assert got == b"".join(parts)
+
+    # gzip + set_params level re-tune mid-stream
+    c = zs.Compressor(level=1, format="gzip", chunk_bytes=4096,
+                      engine="native")
+    out = c.compress(parts[0]) + c.set_params(level=9)
+    out += c.compress(parts[1]) + c.flush(zs.Z_FINISH)
+    assert zlib.decompress(out, wbits=31) == parts[0] + parts[1]
+
+    with pytest.raises(ValueError):
+        zs.Compressor(engine="native", strategy=2)
+    with pytest.raises(ValueError):
+        zs.Compressor(engine="nope")
+
+
+def test_stream_native_matches_window_continuity():
+    """Matches must reach across chunk boundaries through the window
+    (the dictionary halo): a repeated payload smaller than two chunks
+    must compress far below its raw size in the SECOND chunk."""
+    from zzflate_tpu import stream as zs
+
+    blob = _corpus(6144, 42)
+    c = zs.Compressor(level=6, format="raw", chunk_bytes=6144,
+                      engine="native")
+    out = c.compress(blob + blob)  # second chunk = exact repeat
+    out += c.flush(zs.Z_FINISH)
+    assert zlib.decompress(out, wbits=-15) == blob + blob
+    assert len(out) < len(zlib.compress(blob, 6)) + 600

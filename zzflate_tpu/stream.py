@@ -40,6 +40,7 @@ class Compressor:
         chunk_bytes: int = cfg_mod.DEFAULT_CHUNK_BYTES,
         strategy: int = cfg_mod.STRATEGY_DEFAULT,
         mem_level: int = 8,
+        engine: str = "tpu",
     ):
         self.config = CodecConfig(
             level=level, format=format, chunk_bytes=chunk_bytes,
@@ -47,6 +48,11 @@ class Compressor:
         )
         if dictionary is not None and format == "gzip":
             raise ValueError("gzip streams cannot carry a preset dictionary")
+        if engine not in ("tpu", "native"):
+            raise ValueError(f"unknown engine {engine!r}")
+        if engine == "native" and strategy != cfg_mod.STRATEGY_DEFAULT:
+            raise ValueError("non-default strategies require engine='tpu'")
+        self._engine = engine
         self._dictionary = dictionary
         self._window: bytes = (dictionary or b"")[-32768:]
         self._buf = bytearray()
@@ -84,6 +90,18 @@ class Compressor:
             if not final:
                 segs += b""  # stored blocks are already byte-aligned
             out = segs
+        elif self._engine == "native":
+            from zzflate_tpu import native as _native
+
+            # The C encoder emits the exact same framing the device
+            # stitcher does (sync-flush empty stored block when not
+            # final), so it is a drop-in segment producer here.
+            out = _native.deflate_raw(
+                payload, level=self.config.level,
+                dictionary=self._window,
+                max_dist=min(32768, 1 << self.config.window_bits),
+                final=final,
+            )
         else:
             out = b"".join(
                 _encode_segments(
@@ -195,6 +213,13 @@ class Compressor:
         if level is not None:
             changes["level"] = level
         if strategy is not None:
+            if (
+                self._engine == "native"
+                and strategy != cfg_mod.STRATEGY_DEFAULT
+            ):
+                raise ValueError(
+                    "non-default strategies require engine='tpu'"
+                )
             changes["strategy"] = strategy
         # dataclasses.replace preserves every unspecified field (notably
         # window_bits), so re-tuning never silently resets other knobs.

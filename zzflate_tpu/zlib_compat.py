@@ -91,14 +91,18 @@ def decompress(data, /, wbits: int = MAX_WBITS, bufsize: int = DEF_BUF_SIZE
 
 def compressobj(level: int = Z_DEFAULT_COMPRESSION, method: int = DEFLATED,
                 wbits: int = MAX_WBITS, memLevel: int = DEF_MEM_LEVEL,
-                strategy: int = Z_DEFAULT_STRATEGY, zdict: bytes | None = None):
+                strategy: int = Z_DEFAULT_STRATEGY, zdict: bytes | None = None,
+                engine: str = "tpu"):
+    """Extension over the stdlib signature: engine="native" runs the
+    host C encoder (no device dispatch) — the right choice for small
+    payloads and latency-sensitive callers."""
     if method != DEFLATED:
         raise error(f"unsupported method {method}")
     fmt, _wb, _ = _parse_wbits(wbits)
     return _CompressObj(
         _stream.Compressor(
             level=_level(level), format=fmt, dictionary=zdict,
-            strategy=strategy, mem_level=memLevel,
+            strategy=strategy, mem_level=memLevel, engine=engine,
         )
     )
 
