@@ -523,9 +523,9 @@ def compress(
     engine="tpu" (default) runs the device pipeline; engine="native"
     runs the one-shot C encoder (native/zzflate_native.c zzt_deflate) —
     the host-side serving path for payloads where a device dispatch is
-    all latency. The native engine covers levels 0-9, formats,
-    window_bits and dictionaries; indexed output and non-default
-    strategies require the device pipeline.
+    all latency. The native engine covers levels 0-9, all strategies,
+    formats, window_bits and dictionaries; indexed output requires the
+    device pipeline.
     """
     data = bytes(data)
     config = CodecConfig(
@@ -538,13 +538,8 @@ def compress(
         raise ValueError("indexed output requires format='gzip'")
     if engine not in ("tpu", "native"):
         raise ValueError(f"unknown engine {engine!r}")
-    if engine == "native":
-        if indexed:
-            raise ValueError("indexed output requires engine='tpu'")
-        if strategy != cfg_mod.STRATEGY_DEFAULT:
-            raise ValueError(
-                "non-default strategies require engine='tpu'"
-            )
+    if engine == "native" and indexed:
+        raise ValueError("indexed output requires engine='tpu'")
 
     segments: list[bytes] | None = None
     if level == 0:
@@ -555,6 +550,7 @@ def compress(
         payload = _native.deflate_raw(
             data, level=level, dictionary=dictionary or b"",
             max_dist=min(32768, 1 << config.window_bits), final=True,
+            strategy=strategy,
         )
         # Whole-stream stored fallback keeps the compress_bound contract
         # (the native encoder's per-64 KiB blocks each add ~10 framing

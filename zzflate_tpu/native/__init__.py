@@ -123,6 +123,7 @@ def lib() -> ctypes.CDLL | None:
             ctypes.c_char_p,          # in
             ctypes.c_size_t,          # n
             ctypes.c_int,             # level
+            ctypes.c_int,             # strategy (zlib.h:196-200 values)
             ctypes.c_char_p,          # dict
             ctypes.c_size_t,          # dict_len
             ctypes.c_int32,           # max_dist
@@ -285,6 +286,7 @@ def deflate_raw(
     dictionary: bytes = b"",
     max_dist: int = 32768,
     final: bool = True,
+    strategy: int = 0,
 ) -> bytes:
     """Native one-shot raw-deflate encode (zzt_deflate).
 
@@ -306,7 +308,7 @@ def deflate_raw(
     buf = ctypes.create_string_buffer(cap)
     out_len = ctypes.c_size_t(0)
     rc = L.zzt_deflate(
-        data, n, int(level), dictionary, len(dictionary),
+        data, n, int(level), int(strategy), dictionary, len(dictionary),
         int(max_dist), 1 if final else 0,
         ctypes.byref(buf), cap, ctypes.byref(out_len),
     )

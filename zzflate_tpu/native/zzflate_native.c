@@ -909,7 +909,8 @@ typedef struct {
 
 /* Emit one block (choosing stored/fixed/dynamic by exact bit cost). */
 static void zd_emit_block(zw_t *w, const uint8_t *buf, int64_t in_start,
-                          int64_t in_end, const zblk_t *blk, int final) {
+                          int64_t in_end, const zblk_t *blk, int final,
+                          int force_fixed) {
   uint32_t fll[288] = {0}, fd[30] = {0};
   uint64_t extra_bits = 0;
   if (!g_len2code_ready) zd_init_len2code();
@@ -994,6 +995,7 @@ static void zd_emit_block(zw_t *w, const uint8_t *buf, int64_t in_start,
                          (uint64_t)(npieces - 1) * 8; /* later type bytes */
   uint64_t cost_fix = 3 + body_fix;
   uint64_t cost_dyn = 3 + hdr_dyn + body_dyn;
+  if (force_fixed) cost_dyn = ~0ull; /* Z_FIXED: no dynamic codes */
 
   if (cost_stored <= cost_fix && cost_stored <= cost_dyn) {
     int64_t off = in_start;
@@ -1128,9 +1130,9 @@ static void zd_longest(const zd_mt_t *m, int64_t i, int chain, int nice,
 /* One-shot raw-deflate encode.  dict seeds the window (positions before
  * `in`); max_dist clamps match distances (windowBits 8..15 contract,
  * zlib.h:551-556).  Returns 0 / ZZT_E_OUTFULL. */
-int zzt_deflate(const uint8_t *in, size_t n, int level, const uint8_t *dict,
-                size_t dict_len, int32_t max_dist, int final, uint8_t *out,
-                size_t out_cap, size_t *out_len) {
+int zzt_deflate(const uint8_t *in, size_t n, int level, int strategy,
+                const uint8_t *dict, size_t dict_len, int32_t max_dist,
+                int final, uint8_t *out, size_t out_cap, size_t *out_len) {
   if (level < 1) level = 1;
   if (level > 9) level = 9;
   const zd_cfg_t cfg = ZD_CFG[level];
@@ -1139,6 +1141,9 @@ int zzt_deflate(const uint8_t *in, size_t n, int level, const uint8_t *dict,
     dict_len = 32768;
   }
   int32_t window = max_dist < 32768 ? max_dist : 32768;
+  if (strategy == 3) window = 1;       /* Z_RLE: dist-1 runs only */
+  int force_fixed = strategy == 4;     /* Z_FIXED */
+  int min_len = strategy == 1 ? 5 : 3; /* Z_FILTERED: favor literals */
 
   int64_t total = (int64_t)dict_len + (int64_t)n;
   uint8_t *buf = (uint8_t *)malloc((size_t)total + 8);
@@ -1173,17 +1178,18 @@ int zzt_deflate(const uint8_t *in, size_t n, int level, const uint8_t *dict,
 
   while (i < total) {
     if (!have_prev && (i - block_start) >= 65536) {
-      zd_emit_block(&w, buf, block_start, i, &blk, 0);
+      zd_emit_block(&w, buf, block_start, i, &blk, 0, force_fixed);
       emitted_any = 1;
       blk.ntok = 0;
       block_start = i;
     }
     int len = 0, dist = 0;
-    if (total - i >= 3) {
+    if (strategy != 2 && total - i >= 3) { /* Z_HUFFMAN_ONLY: no matches */
       int ch = cfg.chain;
       if (have_prev && prev_len >= cfg.good) ch >>= 2;
       zd_longest(&m, i, ch, cfg.nice, window, &len, &dist);
       if (len == 3 && dist > 4096) len = 0; /* zlib's TOO_FAR heuristic */
+      if (len && len < min_len) len = 0;
     }
     if (have_prev) {
       if (len > prev_len) {
@@ -1226,7 +1232,8 @@ int zzt_deflate(const uint8_t *in, size_t n, int level, const uint8_t *dict,
     blk.dist[blk.ntok++] = (uint16_t)prev_dist;
   }
   if (blk.ntok || !emitted_any || final)
-    zd_emit_block(&w, buf, block_start, total, &blk, final ? 1 : 0);
+    zd_emit_block(&w, buf, block_start, total, &blk, final ? 1 : 0,
+                  force_fixed);
   if (!final) {
     /* Sync-flush framing (zlib.h:170-173 Z_SYNC_FLUSH): an empty stored
      * block byte-aligns the stream so segments concatenate legally. */

@@ -50,8 +50,6 @@ class Compressor:
             raise ValueError("gzip streams cannot carry a preset dictionary")
         if engine not in ("tpu", "native"):
             raise ValueError(f"unknown engine {engine!r}")
-        if engine == "native" and strategy != cfg_mod.STRATEGY_DEFAULT:
-            raise ValueError("non-default strategies require engine='tpu'")
         self._engine = engine
         self._dictionary = dictionary
         self._window: bytes = (dictionary or b"")[-32768:]
@@ -100,7 +98,7 @@ class Compressor:
                 payload, level=self.config.level,
                 dictionary=self._window,
                 max_dist=min(32768, 1 << self.config.window_bits),
-                final=final,
+                final=final, strategy=self.config.strategy,
             )
         else:
             out = b"".join(
@@ -213,13 +211,6 @@ class Compressor:
         if level is not None:
             changes["level"] = level
         if strategy is not None:
-            if (
-                self._engine == "native"
-                and strategy != cfg_mod.STRATEGY_DEFAULT
-            ):
-                raise ValueError(
-                    "non-default strategies require engine='tpu'"
-                )
             changes["strategy"] = strategy
         # dataclasses.replace preserves every unspecified field (notably
         # window_bits), so re-tuning never silently resets other knobs.
