@@ -43,6 +43,7 @@ def _cmd_compress(args) -> int:
         data, level=args.level, format=args.format,
         chunk_bytes=args.chunk_bytes, strategy=args.strategy,
         indexed=args.indexed, mem_level=args.mem_level,
+        engine=args.engine,
     )
     dt = time.perf_counter() - t0
     _write(args.output, out, ".zz")
@@ -163,6 +164,8 @@ def main(argv=None) -> int:
                     help="0=default 1=filtered 2=huffman-only 3=rle 4=fixed")
     pc.add_argument("--indexed", action="store_true",
                     help="gzip with a 'ZZ' chunk index (TPU-decodable)")
+    pc.add_argument("--engine", default="tpu", choices=("tpu", "native"),
+                    help="device pipeline (default) or the host C encoder")
     pc.add_argument("--mem-level", type=int, default=8, dest="mem_level",
                     help="1..9 device-memory budget (zlib memLevel shape)")
     pc.set_defaults(fn=_cmd_compress)
