@@ -228,3 +228,37 @@ def test_stream_native_matches_window_continuity():
     out += c.flush(zs.Z_FINISH)
     assert zlib.decompress(out, wbits=-15) == blob + blob
     assert len(out) < len(zlib.compress(blob, 6)) + 600
+
+
+def test_native_fuzz_property():
+    """Property fuzz: random structured inputs x levels x strategies all
+    round-trip through the zlib oracle (and through our own inflate)."""
+    from zzflate_tpu.models import inflate as own
+
+    rng = np.random.default_rng(123)
+    for trial in range(60):
+        kind = trial % 4
+        n = int(rng.integers(0, 50000))
+        if kind == 0:
+            data = rng.integers(0, 256, size=n, dtype=np.uint8).tobytes()
+        elif kind == 1:
+            words = [b"alpha", b"beta", b"gam", b"\x00\x00", b"delta-"]
+            data = b"".join(
+                words[i] for i in rng.integers(0, len(words), size=n // 4)
+            )[:n]
+        elif kind == 2:
+            data = bytes(rng.integers(0, 4, size=n, dtype=np.uint8))
+        else:
+            piece = rng.integers(0, 256, size=97, dtype=np.uint8).tobytes()
+            data = (piece * (n // 97 + 1))[:n]
+        level = int(rng.integers(1, 10))
+        strategy = int(rng.integers(0, 5))
+        raw = native.deflate_raw(data, level=level, strategy=strategy)
+        assert zlib.decompress(raw, wbits=-15) == data, (
+            trial, n, level, strategy
+        )
+    # and our own native inflate decodes our native deflate
+    data = _corpus(30000, 77)
+    raw = native.deflate_raw(data, level=6)
+    out, _ = native.inflate_raw(raw)
+    assert out == data
