@@ -70,10 +70,14 @@ def _level(level: int) -> int:
 
 
 def compress(data, /, level: int = Z_DEFAULT_COMPRESSION,
-             wbits: int = MAX_WBITS) -> bytes:
+             wbits: int = MAX_WBITS, engine: str = "tpu") -> bytes:
+    """Extension over the stdlib signature: engine="native" runs the
+    host C encoder — no device dispatch, the right default for small
+    payloads on latency-sensitive paths."""
     fmt, wb, _ = _parse_wbits(wbits)
     return _api.compress(
-        bytes(data), level=_level(level), format=fmt, window_bits=wb
+        bytes(data), level=_level(level), format=fmt, window_bits=wb,
+        engine=engine,
     )
 
 
