@@ -3,6 +3,15 @@
 Tests, inside a scalar while-loop: (a) (1,)-vector dynamic store to a 1D
 VMEM ref; (b) dynamic lane store to a 2D VMEM ref; (c) scalar store to
 SMEM scratch.
+
+MEASURED CONCLUSION (2026-08-17, real chip): 2D dynamic stores work at
+~550 ns/iter marginal (after subtracting the ~25 ms dispatch floor);
+SMEM stores are the same; 1D dynamic stores and scalar VMEM loads CRASH
+the remote compiler. At 550 ns/iter a token-serial Pallas walk costs
+seconds per MiB — sequential walk-kernels were REJECTED for both the
+encode parse and the decode walk on this platform (the XLA lane-
+parallel formulations in ops/matcher.py and models/inflate_tpu.py are
+the production paths).
 """
 import time
 

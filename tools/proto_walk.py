@@ -7,6 +7,10 @@ extending it in-kernel by comparing bytes) when take[i], else jump to the
 next take position nm[i]. Marks committed matches and their extended
 lengths. Iterations ~= committed matches (literal runs are skipped via
 nm), worst-case (end-start)/3.
+
+MEASURED CONCLUSION (2026-08-17, real chip): rejected — the scalar-loop
+body costs ~550 ns/iter (proto_store.py), so the walk cannot beat the
+lane-parallel row-sweep parse (ops/matcher.parse_commit_batch).
 """
 from __future__ import annotations
 

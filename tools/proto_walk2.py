@@ -1,6 +1,10 @@
 """Calibrate Mosaic scalar-loop cost: marginal ns/iteration for
 arithmetic-only, load-only, store-only and combined bodies, at two trip
-counts (to separate dispatch floor from marginal cost)."""
+counts (to separate dispatch floor from marginal cost).
+
+MEASURED CONCLUSION (2026-08-17, real chip): see proto_store.py —
+scalar-loop bodies with dynamic memory access run ~550 ns/iter, which
+rules out token-serial Pallas kernels for this codec's walks."""
 import time
 import numpy as np
 import jax
