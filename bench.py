@@ -207,6 +207,20 @@ def main() -> None:
     print(json.dumps(record), flush=True)
     print(f"stages_ms={json.dumps(stages)}", file=sys.stderr, flush=True)
 
+    # Native C encode engine (stderr detail; the host serving path).
+    enc_native = 0.0
+    try:
+        from zzflate_tpu import native as zn
+
+        if zn.lib() is not None:
+            zn.deflate_raw(data, level=LEVEL)  # warm
+            t0 = time.perf_counter()
+            raw = zn.deflate_raw(data, level=LEVEL)
+            enc_native = mb / (time.perf_counter() - t0)
+            assert zlib.decompress(raw, wbits=-15) == data
+    except Exception as e:
+        print(f"native-encode bench failed: {e!r}", file=sys.stderr)
+
     # Decode-side numbers (stderr detail): native C path + TPU indexed path.
     t0 = time.perf_counter()
     back = zf.decompress(out, format="gzip")
@@ -235,6 +249,7 @@ def main() -> None:
         f"corpus={len(data)}B ours={len(out)}B ratio={len(data)/len(out):.3f} "
         f"zlib6={len(zref)}B ratio={len(data)/len(zref):.3f} "
         f"times={['%.2f' % t for t in times]} zlib6_enc={zlib_mbps:.1f}MB/s "
+        f"enc_native={enc_native:.1f}MB/s "
         f"dec_native={dec_native:.0f}MB/s dec_tpu_dev={dec_tpu_dev:.2f}MB/s "
         f"dec_tpu={dec_tpu:.2f}MB/s",
         file=sys.stderr,
