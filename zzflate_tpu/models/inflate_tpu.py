@@ -1065,19 +1065,29 @@ def decompress_indexed(
 
     if grouped:
         gos = np.array([s[15] for s in staged], np.int32)
+        ngroups = len(staged)
+        # Pad the group axis to a power of two with inert groups (no
+        # valid lanes, zero output) so every stream-size class in a
+        # bucket shares ONE compiled graph — each distinct G would
+        # otherwise cost its own slow remote compile.
+        gp = _pow2(ngroups)
+        padded = staged + [
+            tuple(np.zeros_like(a) for a in staged[0][:15]) + (0,)
+        ] * (gp - ngroups)
+        gpos = np.concatenate([gos, np.zeros(gp - ngroups, np.int32)])
         outs, crcs = _walk_all_grouped(
             *(
-                jnp.asarray(np.stack([s[i] for s in staged]))
+                jnp.asarray(np.stack([s[i] for s in padded]))
                 for i in range(13)
             ),
             prefix,
-            jnp.asarray(np.stack([s[13] for s in staged])),
-            jnp.asarray(np.stack([s[14] for s in staged])),
-            jnp.asarray(_W + gos), jnp.asarray(gos),
+            jnp.asarray(np.stack([s[13] for s in padded])),
+            jnp.asarray(np.stack([s[14] for s in padded])),
+            jnp.asarray(_W + gpos), jnp.asarray(gpos),
             n_out_pad=n_out_pad, n_stored=n_stored, t_steps=t_steps,
             with_crc=verify, defer=_WALK_DEFER,
         )
-        for gi in range(len(staged)):
+        for gi in range(ngroups):
             group_out.append((outs[gi], int(gos[gi])))
             if verify:
                 group_crc.append(crcs[gi])
