@@ -21,9 +21,11 @@ _WINDOW = 32768
 
 # Compact the emit phase's per-chunk word buffers into one dense device
 # buffer before fetching (exact-size transfer; see emit_chunks_batch).
-# Env-gated pending on-chip A/B: the extra device scatter pass trades
-# against halving device->host bytes on the tunneled platform.
-_COMPACT = os.environ.get("ZZFLATE_COMPACT_FETCH", "0") == "1"
+# Measured on-chip 2026-08-19 (8 MiB bench corpus, level 6): emit_fetch
+# 572 -> 502 ms, end-to-end encode 5.07 -> 5.38 MB/s — the extra device
+# scatter pass is cheaper than the device->host bytes it saves, so the
+# compaction is now the default (ZZFLATE_COMPACT_FETCH=0 opts out).
+_COMPACT = os.environ.get("ZZFLATE_COMPACT_FETCH", "1") == "1"
 
 
 def compress_bound(n: int, format: str = "zlib") -> int:

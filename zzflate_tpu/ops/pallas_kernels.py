@@ -164,6 +164,18 @@ def scan_candidates(
 #
 # Semantics are bit-identical to the XLA path (same P1/P2/P3 recurrences,
 # chunk-local flat indices); tests/test_pallas.py compares them directly.
+#
+# MEASURED LOWERING LIMIT (2026-08-19, real chip, Mosaic via jax 0.9):
+# the compiled path does NOT lower — Mosaic rejects every dynamic
+# lane-dim access this marching formulation needs ("cannot statically
+# prove that index in dimension 2 is a multiple of 128" for the
+# per-column step read; "Cannot store scalars to VMEM" for P2's entry
+# walk). A lowerable rewrite must march a 384-wide register window
+# (pltpu.roll + one-hot inserts) and store finalized 128-column blocks
+# at provably-aligned offsets — and because the grid serializes chunks
+# that the XLA row-sweep batches full-width, its modeled win is <2x.
+# Parked: interpret mode stays for CPU tests; ZZFLATE_PALLAS_PARSE=1
+# remains opt-in and fails fast on TPU.
 # ---------------------------------------------------------------------------
 
 _SINK = 1 << 30
@@ -183,7 +195,9 @@ def _parse_kernel(starts_ref, step_ref, mark_ref, ex_ref, *, rows_per, row):
 
     def p1(t, _):
         j = row - 1 - t
-        s = jax.lax.dynamic_slice(step_t, (0, j), (rows_per, 1))
+        # read the column through the ref (Mosaic lowers pl.ds on refs;
+        # dynamic_slice on a materialized value is unimplemented)
+        s = step_ref[0, :, pl.ds(j, 1)]
         win = ex_ref[:, pl.ds(j + 1, w)]               # (rows_per, 258)
         eq = (s - 1) == t_iota
         hop = jnp.max(jnp.where(eq, win, 0), axis=1, keepdims=True)
@@ -192,7 +206,7 @@ def _parse_kernel(starts_ref, step_ref, mark_ref, ex_ref, *, rows_per, row):
         ex_ref[:, pl.ds(j, 1)] = val
         return 0
 
-    jax.lax.fori_loop(0, row, p1, 0, unroll=4)
+    jax.lax.fori_loop(0, row, p1, 0)
 
     # P2: chain row entries serially (scalar walk; exits from row r land
     # in row r+1 because row > MAX_MATCH). Entries overwrite ex column 0's
@@ -200,21 +214,28 @@ def _parse_kernel(starts_ref, step_ref, mark_ref, ex_ref, *, rows_per, row):
     # written into mark_ref's row via P3 immediately? No — two phases keep
     # the recurrences simple: collect entries into the ex pad columns
     # (indices row..row+w beyond every read window of P3).
-    start = starts_ref[0, 0]
+    # starts is passed whole (bch, 1) in SMEM — Mosaic rejects (1, 1)
+    # blocks over a (bch, 1) array — and indexed by grid position here.
+    start = starts_ref[pl.program_id(0), 0]
     r0 = start // row
 
-    def p2(r, e):
+    def p2(r, state):
+        e, entries = state
         e = jnp.where(r == r0, start, e)
         cur = jnp.where(r >= r0, e, _SINK)
-        ex_ref[r, row + w] = cur                       # entry slot
+        # Mosaic cannot store scalars to VMEM: keep the per-row entry
+        # vector as a register carry, updated by one-hot select.
+        entries = jnp.where(rvec == r, cur, entries)
         j = jnp.clip(cur - r * row, 0, row - 1)
-        nxt = ex_ref[r, j]
-        return jnp.where(r >= r0, nxt, e)
+        nxt = jnp.sum(ex_ref[pl.ds(r, 1), pl.ds(j, 1)])
+        return jnp.where(r >= r0, nxt, e), entries
 
-    jax.lax.fori_loop(0, rows_per, p2, jnp.int32(0))
+    _, entries = jax.lax.fori_loop(
+        0, rows_per, p2,
+        (jnp.int32(0), jnp.full((rows_per, 1), _SINK, jnp.int32)),
+    )
 
     # P3: forward mark walk of every row from its entry, one-hot marking.
-    entries = ex_ref[:, row + w : row + w + 1]         # (rows_per, 1)
     j0 = entries - rvec * row
     active0 = (entries < _SINK) & (j0 >= 0) & (j0 < row)
     j_iota = jax.lax.broadcasted_iota(jnp.int32, (rows_per, row), 1)
@@ -228,7 +249,7 @@ def _parse_kernel(starts_ref, step_ref, mark_ref, ex_ref, *, rows_per, row):
         j = j + s
         return j, active & (j < row)
 
-    jax.lax.fori_loop(0, row, p3, (j0, active0), unroll=4)
+    jax.lax.fori_loop(0, row, p3, (j0, active0))
 
 
 @functools.partial(
@@ -251,7 +272,7 @@ def parse_rows(
         functools.partial(_parse_kernel, rows_per=rows_per, row=row),
         grid=(bch,),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (i, 0),
+            pl.BlockSpec((bch, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, rows_per, row), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
