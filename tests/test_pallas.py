@@ -110,3 +110,33 @@ def test_parse_rows_matches_xla(lazy):
     finally:
         M._PALLAS_PARSE = prev
         jax.clear_caches()
+
+
+def _xla_propagate(pk_arr):
+    from zzflate_tpu.constants import MAX_MATCH
+
+    n = pk_arr.shape[0]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    out = pk_arr
+    shift = 1
+    while shift < MAX_MATCH:
+        cand = jnp.roll(out, shift) - (shift << 15)
+        cand = jnp.where((pos >= shift) & (cand >= (3 << 15)), cand, 0)
+        out = jnp.maximum(out, cand)
+        shift *= 2
+    return np.asarray(out)
+
+
+@pytest.mark.parametrize("n", [1000, 4096, 12345])
+def test_propagate_matches_xla(n):
+    rng = np.random.default_rng(n)
+    mlen = rng.integers(3, 259, size=n).astype(np.int32)
+    mlen = np.where(rng.random(n) < 0.6, 0, mlen)
+    mdist = rng.integers(1, 32769, size=n).astype(np.int32)
+    packed = jnp.asarray(
+        np.where(mlen > 0, (mlen << 15) | (WINDOW_SIZE - mdist), 0),
+        jnp.int32,
+    )
+    got = np.asarray(pk.propagate_matches(packed, interpret=True))
+    exp = _xla_propagate(packed)
+    assert (got == exp).all()

@@ -481,20 +481,37 @@ def _encode_segments(
     # is a constant number of batches regardless of input size
     # (BASELINE.json:11 GB-scale requirement); dropping the `ana` dict
     # after emit dispatch releases the ~24 B/position analysis arrays.
+    #
+    # finish() runs on ONE worker thread (order-preserving): its blocking
+    # device->host fetches release the GIL, so batch i's words transfer
+    # while the main thread plans/dispatches batch i+1 — on the tunneled
+    # platform the fetch is a serial ~50-300 ms tail per batch otherwise.
     import collections
+    from concurrent.futures import ThreadPoolExecutor
 
     a_q: collections.deque = collections.deque()
     e_q: collections.deque = collections.deque()
-    for b0 in range(0, nchunks, bsz):
-        a_q.append(dispatch_analyze(b0))
-        if len(a_q) >= 2:
+    f_q: collections.deque = collections.deque()
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        def submit_finish():
+            f_q.append(pool.submit(finish, *e_q.popleft()))
+            # Keep at most 2 finishes in flight so emit outputs don't
+            # accumulate on device; .result() re-raises worker errors.
+            while len(f_q) > 2:
+                f_q.popleft().result()
+
+        for b0 in range(0, nchunks, bsz):
+            a_q.append(dispatch_analyze(b0))
+            if len(a_q) >= 2:
+                e_q.append(plan_and_emit(*a_q.popleft()))
+            if len(e_q) >= 2:
+                submit_finish()
+        while a_q:
             e_q.append(plan_and_emit(*a_q.popleft()))
-        if len(e_q) >= 2:
-            finish(*e_q.popleft())
-    while a_q:
-        e_q.append(plan_and_emit(*a_q.popleft()))
-    while e_q:
-        finish(*e_q.popleft())
+        while e_q:
+            submit_finish()
+        while f_q:
+            f_q.popleft().result()
 
     return {
         "segments": segments, "blocks": blocks, "anchors": anchors,

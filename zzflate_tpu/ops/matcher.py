@@ -376,8 +376,7 @@ def find_matches(
         # valid match (len - k, dist) at p + k for every 0 < k < len (the
         # same source window, shifted) — candidates the K-neighbor scans
         # may have missed. In packed form (len<<15 | 32768-dist) this is
-        # a distance-decayed running max over the last 258 positions:
-        # log2(258) doubling rounds of roll+subtract+max, no gathers.
+        # a distance-decayed running max over the last 258 positions.
         # Strictly valid (never an overestimate), helps the lazy/optimal
         # parses pick better interior tokens.
         pk = jnp.where(
@@ -385,12 +384,22 @@ def find_matches(
             (mlen << 15) | (jnp.int32(WINDOW_SIZE) - mdist),
             0,
         )
-        shift = 1
-        while shift < MAX_MATCH:
-            cand = jnp.roll(pk, shift) - (shift << 15)
-            cand = jnp.where((pos >= shift) & (cand >= (3 << 15)), cand, 0)
-            pk = jnp.maximum(pk, cand)
-            shift *= 2
+        if _USE_PALLAS and jax.default_backend() != "cpu":
+            # One fused VMEM pass (windowed max of pk[j] + j*2^15)
+            # replacing the 9 roll+max HBM rounds; bit-identical
+            # (tests/test_pallas.py).
+            from zzflate_tpu.ops import pallas_kernels as pkk
+
+            pk = pkk.propagate_matches(pk)
+        else:
+            shift = 1
+            while shift < MAX_MATCH:
+                cand = jnp.roll(pk, shift) - (shift << 15)
+                cand = jnp.where(
+                    (pos >= shift) & (cand >= (3 << 15)), cand, 0
+                )
+                pk = jnp.maximum(pk, cand)
+                shift *= 2
         mlen, mdist = _unpack_best(pk)
 
     mlen = jnp.minimum(mlen, jnp.minimum(MAX_MATCH, valid_end - pos))

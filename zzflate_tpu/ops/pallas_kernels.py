@@ -152,6 +152,93 @@ def scan_candidates(
 
 
 # ---------------------------------------------------------------------------
+# Fused interior-suffix propagation (matcher.find_matches's _PROPAGATE pass).
+#
+# The XLA formulation is 9 full-HBM roll+subtract+max rounds over the
+# packed (len << 15 | 32768 - dist) array. Closed form: with
+# u[j] = pk[j] + j*2^15, the propagated value is
+#     pk'[i] = max_{0 <= k <= 255} (pk[i-k] - k*2^15)
+#            = (windowed max of u over the last 256 positions) - i*2^15,
+# gated at >= 3 << 15 (a decayed length below 3 is not a match) — the
+# same result the doubling rounds compute (k in [256, 511] always decays
+# len <= 258 below 3, so the narrower window is exact). The windowed max
+# runs as 8 in-register doubling rounds per VMEM tile; each tile reads an
+# 8-row (1024-element > 255 needed) halo of the previous tile via a
+# row-shifted copy of the input, so one HBM pass replaces nine.
+# ---------------------------------------------------------------------------
+
+_PROP_TR = 32  # rows per tile; halo adds 8 more
+_PROP_C = 1 << 15
+
+
+def _prop_kernel(pk, pkh, out):
+    ext = jnp.concatenate([pkh[:], pk[:]], axis=0)  # (8 + TR, 128)
+    rows = _PROP_TR + 8
+    flat = (
+        jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 0) * _LANES
+        + jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 1)
+    )
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 1)
+    u = jnp.where(ext > 0, ext + flat * _PROP_C, 0)
+
+    # Doubling window max: shifts 1, 2, 4, .., 128 -> window 255.
+    for s in (1, 2, 4, 8, 16, 32, 64, 128):
+        r, l = divmod(s, _LANES)
+        if l == 0:
+            v = pltpu.roll(u, r, 0)
+        else:
+            ul = pltpu.roll(u, l, 1)
+            v = jnp.where(
+                lane >= l, pltpu.roll(ul, r, 0), pltpu.roll(ul, r + 1, 0)
+            )
+        # Rows that wrapped past the block top would read the block's
+        # bottom (huge u). flat < s only occurs in halo rows (s <= 128 <
+        # 1024-255), whose outputs are dropped; zeroing is safe there.
+        u = jnp.maximum(u, jnp.where(flat >= s, v, 0))
+
+    res = u - flat * _PROP_C
+    out[:] = jnp.where(res >= 3 * _PROP_C, res, 0)[8:]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def propagate_matches(pk: jax.Array, interpret: bool = False) -> jax.Array:
+    """Interior-suffix candidate propagation of the packed best array.
+
+    pk: (n,) int32, len << 15 | (32768 - dist), 0 where no match.
+    Returns the same array after distance-decayed window-max propagation —
+    bit-identical to matcher's 9-round XLA doubling loop (tested).
+    """
+    n = pk.shape[0]
+    tile = _PROP_TR * _LANES
+    n_pad = -(-n // tile) * tile
+    x = jnp.pad(pk, (0, n_pad - n))
+    rows = n_pad // _LANES
+    x2 = x.reshape(rows, _LANES)
+    # 8-row-shifted copy: tile i's halo rows (global rows i*TR-8 .. i*TR-1)
+    # are rows [i*TR .. i*TR+7] of xh, i.e. block index 4i of (8, 128)
+    # blocks.
+    xh = jnp.concatenate(
+        [jnp.zeros((8, _LANES), x2.dtype), x2[:-8]], axis=0
+    )
+    grid = rows // _PROP_TR
+    out = pl.pallas_call(
+        _prop_kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((_PROP_TR, _LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, _LANES), lambda i: (4 * i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_PROP_TR, _LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, _LANES), jnp.int32),
+        interpret=interpret,
+    )(x2, xh)
+    return out.reshape(-1)[:n]
+
+
+# ---------------------------------------------------------------------------
 # Fused serial row-sweep parse (matcher.parse_commit_batch's P1+P2+P3).
 #
 # The XLA formulation runs ~1600 fori_loop steps per batch, each paying a
