@@ -1,0 +1,27 @@
+#!/bin/bash
+# Tunnel watchdog: probe the axon device every ~3 min; when a trivial
+# device op completes, run the real-chip bench (and any queued probe
+# scripts) once, then keep watching so later outages are logged.
+# Results land in /tmp/tunnel_watch/ with timestamps.
+set -u
+OUT=/tmp/tunnel_watch
+mkdir -p "$OUT"
+log() { echo "$(date -u +%FT%TZ) $*" >> "$OUT/log"; }
+log "watchdog start"
+RAN_BENCH=0
+while true; do
+  if timeout 120 python -c 'import jax, numpy as np, jax.numpy as jnp; assert int(np.asarray(jnp.sum(jnp.arange(8)))) == 28' >/dev/null 2>&1; then
+    log "device RESPONSIVE"
+    if [ "$RAN_BENCH" = 0 ]; then
+      ts=$(date -u +%s)
+      log "running bench.py"
+      timeout 3000 python bench.py > "$OUT/bench_$ts.out" 2> "$OUT/bench_$ts.err"
+      log "bench rc=$? -> $OUT/bench_$ts.out"
+      RAN_BENCH=1
+    fi
+  else
+    log "device unresponsive"
+    RAN_BENCH=0
+  fi
+  sleep 170
+done

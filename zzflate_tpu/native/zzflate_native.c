@@ -668,9 +668,20 @@ static void zw_init(zw_t *w, uint8_t *out, size_t cap) {
   w->overflow = 0;
 }
 
-static inline void zw_put(zw_t *w, uint32_t v, int n) {
-  w->acc |= (uint64_t)(v & ((n < 32 ? (1u << n) : 0u) - 1u)) << w->nbits;
-  w->nbits += n;
+static inline void zw_drain(zw_t *w) {
+  /* Flush whole accumulator bytes. Fast path: one unaligned 8-byte
+   * little-endian store covers every pending byte at once (the writer
+   * emits LSB-first, so byte k of the stream is acc bits [8k, 8k+8)). */
+#if defined(__BYTE_ORDER__) && __BYTE_ORDER__ == __ORDER_LITTLE_ENDIAN__
+  if (w->pos + 8 <= w->cap) {
+    memcpy(w->out + w->pos, &w->acc, 8);
+    int bytes = w->nbits >> 3;
+    w->pos += (size_t)bytes;
+    w->acc >>= bytes * 8;
+    w->nbits &= 7;
+    return;
+  }
+#endif
   while (w->nbits >= 8) {
     if (w->pos < w->cap)
       w->out[w->pos] = (uint8_t)w->acc;
@@ -682,8 +693,16 @@ static inline void zw_put(zw_t *w, uint32_t v, int n) {
   }
 }
 
+static inline void zw_put(zw_t *w, uint32_t v, int n) {
+  w->acc |= (uint64_t)(v & ((n < 32 ? (1u << n) : 0u) - 1u)) << w->nbits;
+  w->nbits += n;
+  /* Callers pass at most 28 bits; draining at >= 36 keeps acc < 64. */
+  if (w->nbits >= 36) zw_drain(w);
+}
+
 static void zw_align(zw_t *w) {
-  if (w->nbits) zw_put(w, 0, 8 - w->nbits);
+  if (w->nbits & 7) zw_put(w, 0, 8 - (w->nbits & 7));
+  zw_drain(w); /* byte-aligned: leaves the accumulator empty */
 }
 
 /* ---- length-limited canonical code lengths ----
@@ -889,14 +908,27 @@ static void zd_init_len2code(void) {
   g_len2code_ready = 1;
 }
 
-static inline int zd_dist_code(int dist) {
-  int lo = 0, hi = 29;
-  while (lo < hi) {
-    int mid = (lo + hi + 1) >> 1;
-    if (DBASE[mid] <= dist) lo = mid;
-    else hi = mid - 1;
+/* dist -> code via two 256-entry tables: dist 1..256 direct, 257..32768
+ * by (dist-1)>>7 (every 128-wide slot above 256 maps to one code). */
+static uint8_t g_dcode_lo[256], g_dcode_hi[256];
+static int g_dcode_ready = 0;
+static void zd_init_dcode(void) {
+  for (int d = 1; d <= 32768; d++) {
+    int lo = 0, hi = 29;
+    while (lo < hi) {
+      int mid = (lo + hi + 1) >> 1;
+      if (DBASE[mid] <= d) lo = mid;
+      else hi = mid - 1;
+    }
+    if (d <= 256) g_dcode_lo[d - 1] = (uint8_t)lo;
+    else if (((d - 1) & 127) == 0 || d == 32768)
+      g_dcode_hi[(d - 1) >> 7] = (uint8_t)lo;
   }
-  return lo;
+  g_dcode_ready = 1;
+}
+
+static inline int zd_dist_code(int dist) {
+  return dist <= 256 ? g_dcode_lo[dist - 1] : g_dcode_hi[(dist - 1) >> 7];
 }
 
 /* One block's tokens. */
@@ -914,6 +946,7 @@ static void zd_emit_block(zw_t *w, const uint8_t *buf, int64_t in_start,
   uint32_t fll[288] = {0}, fd[30] = {0};
   uint64_t extra_bits = 0;
   if (!g_len2code_ready) zd_init_len2code();
+  if (!g_dcode_ready) zd_init_dcode();
   for (int t = 0; t < blk->ntok; t++) {
     if (blk->len[t] == 0) {
       fll[blk->lit[t]]++;
@@ -1008,7 +1041,14 @@ static void zd_emit_block(zw_t *w, const uint8_t *buf, int64_t in_start,
       zw_align(w);
       zw_put(w, (uint32_t)take, 16);
       zw_put(w, (uint32_t)take ^ 0xFFFFu, 16);
-      for (int64_t j = 0; j < take; j++) zw_put(w, buf[off + j], 8);
+      zw_drain(w); /* byte-aligned here: accumulator is empty */
+      if (w->pos + (uint64_t)take <= w->cap) {
+        memcpy(w->out + w->pos, buf + off, (size_t)take);
+        w->pos += (size_t)take;
+      } else {
+        w->overflow = 1;
+        w->pos += (size_t)take;
+      }
       off += take;
     }
     return;
@@ -1046,14 +1086,17 @@ static void zd_emit_block(zw_t *w, const uint8_t *buf, int64_t in_start,
       int s = blk->lit[t];
       zw_put(w, llc[s], ull[s]);
     } else {
+      /* Merge each code with its extra bits into one put (the extra
+       * field follows the code LSB-first): <= 15+5 and <= 15+13 bits. */
       int lc = g_len2code[blk->len[t]];
       int s = 257 + lc;
-      zw_put(w, llc[s], ull[s]);
-      if (LEXT[lc]) zw_put(w, (uint32_t)(blk->len[t] - LBASE[lc]), LEXT[lc]);
+      zw_put(w,
+             llc[s] | ((uint32_t)(blk->len[t] - LBASE[lc]) << ull[s]),
+             ull[s] + LEXT[lc]);
       int dcd = zd_dist_code(blk->dist[t]);
-      zw_put(w, dc_[dcd], ud[dcd]);
-      if (DEXT[dcd])
-        zw_put(w, (uint32_t)(blk->dist[t] - DBASE[dcd]), DEXT[dcd]);
+      zw_put(w,
+             dc_[dcd] | ((uint32_t)(blk->dist[t] - DBASE[dcd]) << ud[dcd]),
+             ud[dcd] + DEXT[dcd]);
     }
   }
   zw_put(w, llc[256], ull[256]);
@@ -1095,6 +1138,18 @@ static inline void zd_insert(zd_mt_t *m, int64_t i) {
   m->head[h] = (int32_t)i;
 }
 
+static inline uint32_t zd_ld32(const void *p) {
+  uint32_t v;
+  memcpy(&v, p, 4);
+  return v;
+}
+
+static inline uint64_t zd_ld64(const void *p) {
+  uint64_t v;
+  memcpy(&v, p, 8);
+  return v;
+}
+
 static void zd_longest(const zd_mt_t *m, int64_t i, int chain, int nice,
                        int32_t window, int *out_len, int *out_dist) {
   int best = 2, bdist = 0;
@@ -1107,9 +1162,31 @@ static void zd_longest(const zd_mt_t *m, int64_t i, int chain, int nice,
   if (nice > (int)maxl) nice = (int)maxl;
   while (cand >= limit && cand >= 0 && chain-- > 0) {
     const uint8_t *q = m->buf + cand;
-    if (cand < i && q[best] == p[best] && q[0] == p[0]) {
+    /* Prefilter: an improving candidate (lcp > best) must agree on the
+     * 4 bytes ending at `best`, so one u32 compare rejects most chain
+     * entries without changing which candidates are accepted.  (best
+     * starts at 2, so fall back to the two byte probes until a real
+     * match raises it to >= 3.) */
+    int probe_ok =
+        best >= 3 ? zd_ld32(q + best - 3) == zd_ld32(p + best - 3)
+                  : (q[best] == p[best] && q[0] == p[0]);
+    if (cand < i && probe_ok) {
+      /* Exact LCP, 8 bytes per step (buf has an 8-byte zero tail). */
       int l = 0;
+      while (l + 8 <= (int)maxl) {
+        uint64_t x = zd_ld64(q + l) ^ zd_ld64(p + l);
+        if (x) {
+#if defined(__BYTE_ORDER__) && __BYTE_ORDER__ == __ORDER_LITTLE_ENDIAN__
+          l += __builtin_ctzll(x) >> 3;
+#else
+          while (q[l] == p[l]) l++;
+#endif
+          goto extended;
+        }
+        l += 8;
+      }
       while (l < (int)maxl && q[l] == p[l]) l++;
+    extended:
       if (l > best) {
         best = l;
         bdist = (int)(i - cand);
