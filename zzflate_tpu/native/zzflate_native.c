@@ -1160,6 +1160,7 @@ static void zd_longest(const zd_mt_t *m, int64_t i, int chain, int nice,
   const uint8_t *p = m->buf + i;
   int32_t cand = m->head[zd_hash(p)];
   if (nice > (int)maxl) nice = (int)maxl;
+  uint32_t want = 0; /* p's 4 bytes ending at `best` (valid once best>=3) */
   while (cand >= limit && cand >= 0 && chain-- > 0) {
     const uint8_t *q = m->buf + cand;
     /* Prefilter: an improving candidate (lcp > best) must agree on the
@@ -1167,9 +1168,8 @@ static void zd_longest(const zd_mt_t *m, int64_t i, int chain, int nice,
      * entries without changing which candidates are accepted.  (best
      * starts at 2, so fall back to the two byte probes until a real
      * match raises it to >= 3.) */
-    int probe_ok =
-        best >= 3 ? zd_ld32(q + best - 3) == zd_ld32(p + best - 3)
-                  : (q[best] == p[best] && q[0] == p[0]);
+    int probe_ok = best >= 3 ? zd_ld32(q + best - 3) == want
+                             : (q[best] == p[best] && q[0] == p[0]);
     if (cand < i && probe_ok) {
       /* Exact LCP, 8 bytes per step (buf has an 8-byte zero tail). */
       int l = 0;
@@ -1191,6 +1191,7 @@ static void zd_longest(const zd_mt_t *m, int64_t i, int chain, int nice,
         best = l;
         bdist = (int)(i - cand);
         if (l >= nice) break;
+        if (best >= 3 && best < (int)maxl) want = zd_ld32(p + best - 3);
       }
     }
     cand = m->prev[cand];
