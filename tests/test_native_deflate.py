@@ -262,3 +262,23 @@ def test_native_fuzz_property():
     raw = native.deflate_raw(data, level=6)
     out, _ = native.inflate_raw(raw)
     assert out == data
+
+
+def test_native_all_distance_codes_roundtrip():
+    """Matches at every distance-code boundary (DBASE[c], DBASE[c]-1,
+    DBASE[c]+1 for all 30 codes) round-trip — exercises the encoder's
+    dist->code table across its full range (RFC 1951 A.3)."""
+    from zzflate_tpu import constants as C
+
+    rng = np.random.default_rng(5)
+    pattern = rng.integers(0, 256, size=16, dtype=np.uint8).tobytes()
+    for base in C.DIST_BASE:
+        for d in (int(base) - 1, int(base), int(base) + 1):
+            if d < 1 or d > 32768:
+                continue
+            # noise gap of (d - 16) bytes, then repeat => match at dist d
+            gap = rng.integers(0, 256, size=max(0, d - 16),
+                               dtype=np.uint8).tobytes()
+            data = pattern + gap + pattern
+            raw = native.deflate_raw(data, level=9)
+            assert zlib.decompress(raw, wbits=-15) == data, d

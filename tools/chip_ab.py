@@ -1,0 +1,82 @@
+"""On-chip A/B of the perf env knobs (run by tools/watch_tunnel.sh when
+the tunnel recovers; safe to run by hand).
+
+Measures, each in a fresh subprocess so env knobs bind before jax init:
+  1. indexed TPU decode with ZZFLATE_WALK_VMAP=0/1 (stacked groups)
+     x ZZFLATE_WALK_UNROLL=1/4
+  2. encode with ZZFLATE_PALLAS_PARSE=1 vs XLA row sweeps
+Prints one JSON line per cell.
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+DEC_BODY = r"""
+import time, json, sys, zlib
+sys.path.insert(0, %(here)r)
+import bench, zzflate_tpu as zf
+from zzflate_tpu.models import inflate_tpu
+data = bench.build_corpus()
+oi = zf.compress(data, level=6, format="gzip", chunk_bytes=1 << 18,
+                 indexed=True)
+arr, n = inflate_tpu.decompress_indexed(oi, to_device=True)  # warm/compile
+assert n == len(data)
+best = 9e9
+for _ in range(3):
+    t0 = time.perf_counter()
+    inflate_tpu.decompress_indexed(oi, to_device=True)
+    best = min(best, time.perf_counter() - t0)
+print(json.dumps({"cell": %(cell)r, "dec_tpu_dev_MBps":
+                  round(len(data) / 1e6 / best, 2)}))
+"""
+
+ENC_BODY = r"""
+import time, json, sys, zlib
+sys.path.insert(0, %(here)r)
+import bench, zzflate_tpu as zf
+data = bench.build_corpus()
+out = zf.compress(data, level=6, format="gzip", chunk_bytes=1 << 18)
+assert zlib.decompress(out, wbits=31) == data
+best = 9e9
+for _ in range(3):
+    t0 = time.perf_counter()
+    zf.compress(data, level=6, format="gzip", chunk_bytes=1 << 18)
+    best = min(best, time.perf_counter() - t0)
+print(json.dumps({"cell": %(cell)r, "enc_MBps":
+                  round(len(data) / 1e6 / best, 2)}))
+"""
+
+
+def run(cell: str, body: str, env_extra: dict, timeout: int = 2400):
+    env = dict(os.environ, **env_extra)
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", body],
+            env=env, capture_output=True, text=True, timeout=timeout,
+        )
+        out = r.stdout.strip().splitlines()
+        print(out[-1] if out else json.dumps(
+            {"cell": cell, "error": r.stderr[-300:]}), flush=True)
+    except subprocess.TimeoutExpired:
+        print(json.dumps({"cell": cell, "error": "timeout"}), flush=True)
+
+
+def main():
+    for vmap in ("0", "1"):
+        for unroll in ("1", "4"):
+            cell = f"dec vmap={vmap} unroll={unroll}"
+            run(cell, DEC_BODY % {"here": HERE, "cell": cell},
+                {"ZZFLATE_WALK_VMAP": vmap, "ZZFLATE_WALK_UNROLL": unroll})
+    for pp in ("", "1"):
+        cell = f"enc pallas_parse={pp or '0'}"
+        run(cell, ENC_BODY % {"here": HERE, "cell": cell},
+            {"ZZFLATE_PALLAS_PARSE": pp})
+
+
+if __name__ == "__main__":
+    main()
