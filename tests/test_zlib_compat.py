@@ -69,3 +69,32 @@ def test_corrupt_raises_error():
     blob[30] ^= 0xFF
     with pytest.raises(zc.error):
         zc.decompress(bytes(blob))
+
+
+def test_compressobj_copy_diverges():
+    """copy() clones the full deflate state (zlib.h:630 deflateCopy):
+    the clone and the original can finish with different suffixes and
+    both decode correctly."""
+    a = zc.compressobj(level=6, engine="native")
+    head = b"shared prefix " * 3000
+    out0 = a.compress(head)
+    b = a.copy()
+    outa = out0 + a.compress(b"suffix-A" * 500) + a.flush()
+    outb = out0 + b.compress(b"suffix-B" * 900) + b.flush()
+    import zlib as _z
+    assert _z.decompress(outa) == head + b"suffix-A" * 500
+    assert _z.decompress(outb) == head + b"suffix-B" * 900
+
+
+def test_decompressobj_copy_diverges():
+    import zlib as _z
+    data = bytes(range(256)) * 500
+    blob = _z.compress(data, 6)
+    d = zc.decompressobj()
+    first = d.decompress(blob[: len(blob) // 2])
+    d2 = d.copy()
+    rest1 = d.decompress(blob[len(blob) // 2 :])
+    rest2 = d2.decompress(blob[len(blob) // 2 :])
+    assert first + rest1 == data
+    assert first + rest2 == data
+    assert d.eof and d2.eof

@@ -217,6 +217,15 @@ class Compressor:
         self.config = dataclasses.replace(self.config, **changes)
         return out
 
+    def copy(self) -> "Compressor":
+        """Independent clone of the full encoder state (the deflateCopy
+        contract, zlib.h:630): all state is host-side (window, buffered
+        input, checksums, sub-byte tail), so a field copy is exact."""
+        c = object.__new__(Compressor)
+        c.__dict__.update(self.__dict__)
+        c._buf = bytearray(self._buf)
+        return c
+
     def flush(self, mode: int = Z_SYNC_FLUSH) -> bytes:
         if self._finished:
             raise ValueError("stream already finished")
@@ -452,6 +461,15 @@ class Decompressor:
                 break
 
     # -- public API ----------------------------------------------------------
+
+    def copy(self) -> "Decompressor":
+        """Independent clone of the inflate state (inflateCopy,
+        zlib.h:820): all state is host-side bytes/ints."""
+        d = object.__new__(Decompressor)
+        d.__dict__.update(self.__dict__)
+        d._buf = bytearray(self._buf)
+        d._out = bytearray(self._out)
+        return d
 
     def decompress(self, data: bytes = b"", max_length: int = 0) -> bytes:
         if self._state == "end" and data:

@@ -131,7 +131,9 @@ class _CompressObj:
         return self._c.flush(mode)
 
     def copy(self):
-        raise error("compressobj copy is not supported")
+        o = _CompressObj.__new__(_CompressObj)
+        o._c = self._c.copy()
+        return o
 
 
 class _DecompressObj:
@@ -176,4 +178,7 @@ class _DecompressObj:
         return self._d.unconsumed_tail if self._d is not None else b""
 
     def copy(self):
-        raise error("decompressobj copy is not supported")
+        o = _DecompressObj.__new__(_DecompressObj)
+        o._fmt, o._zdict, o._auto = self._fmt, self._zdict, self._auto
+        o._d = self._d.copy() if self._d is not None else None
+        return o
