@@ -282,3 +282,25 @@ def test_native_all_distance_codes_roundtrip():
             data = pattern + gap + pattern
             raw = native.deflate_raw(data, level=9)
             assert zlib.decompress(raw, wbits=-15) == data, d
+
+
+def test_native_mt_stitching_roundtrip():
+    """Chunk-parallel native encode joins halo-dictionary chunks into
+    one valid stream (same sync-flush contract as the device gather)."""
+    rng = np.random.default_rng(11)
+    text = open("/usr/include/zlib.h", "rb").read()
+    data = (text * 40)[: 3 << 20] + rng.integers(
+        0, 256, 1 << 20, dtype=np.uint8
+    ).tobytes()
+    for threads in (2, 4):
+        raw = native.deflate_raw_mt(
+            data, level=6, chunk_bytes=1 << 20, threads=threads
+        )
+        assert zlib.decompress(raw, wbits=-15) == data
+    one = native.deflate_raw(data, level=6)
+    assert len(raw) < len(one) * 1.005  # halo keeps the chunking cost tiny
+    # engine="native" one-shot API rides the same path with containers
+    import zzflate_tpu as zf
+
+    out = zf.compress(data, level=6, format="gzip", engine="native")
+    assert zlib.decompress(out, wbits=31) == data

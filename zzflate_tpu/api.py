@@ -566,7 +566,10 @@ def compress(
     elif engine == "native":
         from zzflate_tpu import native as _native
 
-        payload = _native.deflate_raw(
+        # Chunk-parallel above 1 MiB (window-aligned halo chunks on a
+        # thread pool, sync-flush stitched — the host mirror of the
+        # device pipeline's DP axis); single-shot below it.
+        payload = _native.deflate_raw_mt(
             data, level=level, dictionary=dictionary or b"",
             max_dist=min(32768, 1 << config.window_bits), final=True,
             strategy=strategy,

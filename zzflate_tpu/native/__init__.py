@@ -315,3 +315,45 @@ def deflate_raw(
     if rc != 0:
         raise RuntimeError(f"zzt_deflate failed: {rc}")
     return ctypes.string_at(ctypes.addressof(buf), out_len.value)
+
+
+def deflate_raw_mt(
+    data: bytes,
+    level: int = 6,
+    dictionary: bytes = b"",
+    max_dist: int = 32768,
+    final: bool = True,
+    strategy: int = 0,
+    chunk_bytes: int = 1 << 20,
+    threads: int | None = None,
+) -> bytes:
+    """Chunk-parallel native encode (the host-engine analogue of the
+    device pipeline's DP axis, SURVEY.md section 2.1): window-aligned
+    chunks, each seeded with the previous 32 KiB as its dictionary halo,
+    encoded on a thread pool (zzt_deflate releases the GIL) and joined
+    with sync-flush framing into ONE valid deflate stream — the same
+    stitching contract the multi-chip gather uses. Ratio cost is the
+    usual ~0.3%/MiB-chunk halo truncation."""
+    import concurrent.futures as _cf
+    import os as _os
+
+    n = len(data)
+    nth = threads or min(8, _os.cpu_count() or 1)
+    if n <= chunk_bytes or nth <= 1:
+        return deflate_raw(
+            data, level=level, dictionary=dictionary, max_dist=max_dist,
+            final=final, strategy=strategy,
+        )
+    nchunks = -(-n // chunk_bytes)
+
+    def one(i: int) -> bytes:
+        lo = i * chunk_bytes
+        hi = min(n, lo + chunk_bytes)
+        dic = dictionary if i == 0 else data[max(0, lo - 32768) : lo]
+        return deflate_raw(
+            data[lo:hi], level=level, dictionary=dic, max_dist=max_dist,
+            final=final and i == nchunks - 1, strategy=strategy,
+        )
+
+    with _cf.ThreadPoolExecutor(max_workers=nth) as pool:
+        return b"".join(pool.map(one, range(nchunks)))
