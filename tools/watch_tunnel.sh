@@ -11,13 +11,22 @@ log "watchdog start"
 RAN_BENCH=0
 while true; do
   if timeout 120 python -c 'import jax, numpy as np, jax.numpy as jnp; assert int(np.asarray(jnp.sum(jnp.arange(8)))) == 28' >/dev/null 2>&1; then
-    log "device RESPONSIVE"
+    # One trivial op succeeding can be a blip; require a second probe
+    # (with real work: a jit matmul round-trip) before spending a bench.
+    sleep 20
+    if ! timeout 120 python -c 'import jax, numpy as np, jax.numpy as jnp; x=jax.jit(lambda a: a@a)(jnp.ones((256,256))); assert float(np.asarray(x[0,0])) == 256.0' >/dev/null 2>&1; then
+      log "device blip (second probe failed)"
+      RAN_BENCH=0
+      sleep 170
+      continue
+    fi
+    log "device RESPONSIVE (x2)"
     if [ "$RAN_BENCH" = 0 ]; then
       ts=$(date -u +%s)
       log "running bench.py"
       timeout 3000 python bench.py > "$OUT/bench_$ts.out" 2> "$OUT/bench_$ts.err"
       log "bench rc=$? -> $OUT/bench_$ts.out"
-      timeout 12000 python tools/chip_ab.py > "$OUT/ab_$ts.out" 2> "$OUT/ab_$ts.err"
+      timeout 3600 python tools/chip_ab.py > "$OUT/ab_$ts.out" 2> "$OUT/ab_$ts.err"
       log "chip_ab rc=$? -> $OUT/ab_$ts.out"
       RAN_BENCH=1
     fi
