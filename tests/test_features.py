@@ -87,3 +87,32 @@ def test_zlib_header_cinfo_tracks_window_bits():
                       window_bits=10)
     assert out[0] == ((10 - 8) << 4) | 8
     assert (out[0] * 256 + out[1]) % 31 == 0
+
+
+def test_seekable_random_access():
+    """seekable=True resets the window per chunk (flagged in the 'ZZ'
+    index); decompress_range reads any byte range touching only the
+    covering chunks, and the stream stays a valid gzip member."""
+    import numpy as np
+
+    import zzflate_tpu as zf
+    from zzflate_tpu.utils import containers
+
+    text = open("/usr/include/zlib.h", "rb").read()[:40000]
+    rng = np.random.default_rng(9)
+    data = text + rng.integers(0, 256, 8000, dtype=np.uint8).tobytes()
+    out = zf.compress(data, level=6, format="gzip", chunk_bytes=4096,
+                      indexed=True, seekable=True)
+    assert zlib.decompress(out, wbits=31) == data
+    flags = containers.gzip_index_flags(out)
+    assert flags is not None and flags & containers.ZZ_FLAG_SEEKABLE
+    for off, ln in [(0, 64), (4091, 10), (20000, 15000), (47990, 10),
+                    (0, len(data)), (5, 0)]:
+        assert zf.decompress_range(out, off, ln) == data[off : off + ln]
+    with pytest.raises(ValueError):
+        zf.decompress_range(out, len(data) - 4, 10)
+    # halo-indexed stream: range reads still correct via prefix decode
+    out2 = zf.compress(data, level=6, format="gzip", chunk_bytes=4096,
+                       indexed=True)
+    assert not (containers.gzip_index_flags(out2) or 0) & 1
+    assert zf.decompress_range(out2, 30000, 9000) == data[30000:39000]

@@ -7,7 +7,8 @@ candidate scoring instead of hash chains, pointer-doubling parse instead of
 a serial commit loop, prefix-sum scatter bit-packing, tree-combining
 checksums, and data-parallel chunk sharding across device meshes.
 """
-from zzflate_tpu.api import compress, compress_bound, decompress
+from zzflate_tpu.api import (compress, compress_bound, decompress,
+                             decompress_range)
 from zzflate_tpu.config import (
     STRATEGY_DEFAULT,
     STRATEGY_FILTERED,
@@ -22,6 +23,7 @@ __version__ = "0.1.0"
 __all__ = [
     "compress",
     "decompress",
+    "decompress_range",
     "compress_bound",
     "CodecConfig",
     "STRATEGY_DEFAULT",

@@ -39,11 +39,14 @@ def _build_chunk_batch(
     chunk_bytes: int,
     dictionary: bytes | None,
     mark_final: bool = True,
+    halo: bool = True,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, int]:
     """Lay out (nchunks, 32K + chunk_bytes) rows with halo prefixes.
 
     Chunk i's prefix is chunk i-1's last 32 KiB (the sequence-parallel halo
     of SURVEY.md section 5.7); chunk 0's is the preset dictionary.
+    halo=False leaves every prefix empty (window reset per chunk — the
+    seekable/random-access layout, Z_FULL_FLUSH semantics per chunk).
     Returns (buf, valid_ends, window_starts, bfinals, nchunks).
     """
     n = len(data)
@@ -54,7 +57,9 @@ def _build_chunk_batch(
     bfinals = np.zeros((nchunks,), dtype=np.int32)
     for i in range(nchunks):
         chunk = data[i * chunk_bytes : (i + 1) * chunk_bytes]
-        if i == 0:
+        if not halo:
+            prefix = b""
+        elif i == 0:
             prefix = (dictionary or b"")[-_WINDOW:]
         else:
             prefix = data[max(0, i * chunk_bytes - _WINDOW) : i * chunk_bytes]
@@ -98,6 +103,7 @@ def _encode_segments(
     single_block_chunks: bool = False,
     frame: bool = True,
     with_anchors: bool = False,
+    halo: bool = True,
 ) -> dict:
     """Deflate payload as byte-aligned per-chunk segments (sync-flush framed).
 
@@ -157,6 +163,7 @@ def _encode_segments(
                 dictionary if b0 == 0
                 else data[max(0, b0 * chunk_bytes - _WINDOW) : b0 * chunk_bytes],
                 mark_final=stream_final and b1 == nchunks,
+                halo=halo,
             )
             pad = bsz - (b1 - b0)
             if pad:
@@ -530,6 +537,7 @@ def compress(
     window_bits: int = 15,
     mem_level: int = 8,
     engine: str = "tpu",
+    seekable: bool = False,
 ) -> bytes:
     """One-shot compress to a zlib/gzip/raw stream (decodable by zlib).
 
@@ -538,6 +546,12 @@ def compress(
     every standard reader, while our TPU inflate uses the index for
     chunk-parallel decode (models/inflate_tpu.py). window_bits 8..15
     bounds match distances to 2^window_bits (zlib.h:551-556 contract).
+
+    seekable=True (requires indexed) additionally resets the LZ window
+    at every chunk boundary (Z_FULL_FLUSH semantics per chunk, at the
+    usual ~0.3% ratio cost): any chunk then decodes from its own
+    segment alone, and decompress_range() serves random-access reads
+    touching only the covering chunks (bgzip-style seekable gzip).
 
     engine="tpu" (default) runs the device pipeline; engine="native"
     runs the one-shot C encoder (native/zzflate_native.c zzt_deflate) —
@@ -559,6 +573,8 @@ def compress(
         raise ValueError(f"unknown engine {engine!r}")
     if engine == "native" and indexed:
         raise ValueError("indexed output requires engine='tpu'")
+    if seekable and not indexed:
+        raise ValueError("seekable output requires indexed=True")
 
     segments: list[bytes] | None = None
     if level == 0:
@@ -583,7 +599,8 @@ def compress(
             payload = stored_whole
     else:
         enc = _encode_segments(
-            data, config, dictionary, with_anchors=indexed
+            data, config, dictionary, with_anchors=indexed,
+            halo=not seekable,
         )
         segments = enc["segments"]
         payload = b"".join(segments)
@@ -617,6 +634,7 @@ def compress(
                     enc["anchors"],
                 )
             ),
+            flags=containers.ZZ_FLAG_SEEKABLE if seekable else 0,
         )
     else:
         hdr = containers.gzip_header()
@@ -647,3 +665,74 @@ def decompress(
         if out is not None:
             return out
     return inflate.decompress(data, format=format, dictionary=dictionary)
+
+
+def decompress_range(
+    data: bytes, offset: int, length: int
+) -> bytes:
+    """Random-access read of [offset, offset+length) from an indexed gzip
+    stream without decoding the whole member.
+
+    Seekable streams (compress(..., indexed=True, seekable=True)) decode
+    only the chunks covering the range; halo-encoded indexed streams
+    decode the prefix chunks up to the range's end (still skipping the
+    tail). Unindexed streams fall back to a full decode + slice.
+    Checksums are NOT verified on partial reads (the gzip CRC covers the
+    whole member); use decompress() for verified full reads.
+    """
+    import struct as _struct
+
+    data = bytes(data)
+    if offset < 0 or length < 0:
+        raise ValueError("offset/length must be non-negative")
+    parsed = containers.parse_gzip_index(data)
+    if parsed is None:
+        return inflate.decompress(data, format="gzip")[
+            offset : offset + length
+        ]
+    header_len, chunk_bytes, _anchor_tokens, chunks = parsed
+    member_len = header_len + sum(sz for sz, _b, _a in chunks) + 8
+    if member_len > len(data):
+        raise ValueError("indexed stream shorter than its index")
+    (isize,) = _struct.unpack("<I", data[member_len - 4 : member_len])
+    if offset + length > isize:
+        raise ValueError("range beyond the decoded stream")
+    if length == 0:
+        return b""
+    flags = containers.gzip_index_flags(data) or 0
+    seekable = bool(flags & containers.ZZ_FLAG_SEEKABLE)
+
+    from zzflate_tpu import native as _native
+
+    c0 = offset // chunk_bytes
+    c1 = min(len(chunks), -(-(offset + length) // chunk_bytes))
+    lo = c0 if seekable else 0
+    cpos = header_len
+    starts = []
+    for sz, _b, _a in chunks:
+        starts.append(cpos)
+        cpos += sz
+    window = b""
+    parts: list[bytes] = []
+    for ci in range(lo, c1):
+        seg = data[starts[ci] : starts[ci] + chunks[ci][0]]
+        expect = min(chunk_bytes, isize - ci * chunk_bytes)
+        if _native.lib() is not None:
+            out, _bit, _fin, _more = _native.inflate_stream(
+                seg, window=window, out_cap_hint=expect + 16
+            )
+        else:
+            out, _bit, _fin, _more = inflate.inflate_blocks(
+                seg, window, 0
+            )
+        if len(out) != expect:
+            raise ValueError("indexed segment decoded to the wrong size")
+        if not seekable:
+            # The encode halo is the last 32 KiB of ALL prior data, which
+            # can span several chunks when chunk_bytes < 32 KiB.
+            window = (window + out)[-32768:]
+        if ci >= c0:
+            parts.append(out)
+    blob = b"".join(parts)
+    rel = offset - c0 * chunk_bytes
+    return blob[rel : rel + length]

@@ -42,8 +42,8 @@ def _cmd_compress(args) -> int:
     out = zf.compress(
         data, level=args.level, format=args.format,
         chunk_bytes=args.chunk_bytes, strategy=args.strategy,
-        indexed=args.indexed, mem_level=args.mem_level,
-        engine=args.engine,
+        indexed=args.indexed or args.seekable, mem_level=args.mem_level,
+        engine=args.engine, seekable=args.seekable,
     )
     dt = time.perf_counter() - t0
     _write(args.output, out, ".zz")
@@ -82,6 +82,29 @@ def _cmd_decompress(args) -> int:
                 "format": args.format,
                 "seconds": round(dt, 4),
                 "MBps": round(len(out) / 1e6 / max(dt, 1e-9), 2),
+            }
+        ),
+        file=sys.stderr,
+    )
+    return 0
+
+
+def _cmd_range(args) -> int:
+    import zzflate_tpu as zf
+
+    data = _read(args.input)
+    t0 = time.perf_counter()
+    out = zf.decompress_range(data, args.offset, args.length)
+    dt = time.perf_counter() - t0
+    _write(args.output, out, ".out")
+    print(
+        json.dumps(
+            {
+                "op": "range",
+                "offset": args.offset,
+                "length": args.length,
+                "bytes_out": len(out),
+                "seconds": round(dt, 4),
             }
         ),
         file=sys.stderr,
@@ -168,6 +191,9 @@ def main(argv=None) -> int:
                     help="device pipeline (default) or the host C encoder")
     pc.add_argument("--mem-level", type=int, default=8, dest="mem_level",
                     help="1..9 device-memory budget (zlib memLevel shape)")
+    pc.add_argument("--seekable", action="store_true",
+                    help="indexed gzip with per-chunk window resets "
+                         "(random-access reads via the range command)")
     pc.set_defaults(fn=_cmd_compress)
 
     pd = sub.add_parser("decompress")
@@ -178,6 +204,14 @@ def main(argv=None) -> int:
     pd.add_argument("--engine", default="native",
                     choices=["native", "tpu"])
     pd.set_defaults(fn=_cmd_decompress)
+
+    pr = sub.add_parser("range", help="random-access read from an "
+                        "indexed gzip stream (see compress --seekable)")
+    pr.add_argument("input")
+    pr.add_argument("offset", type=int)
+    pr.add_argument("length", type=int)
+    pr.add_argument("-o", "--output", default=None)
+    pr.set_defaults(fn=_cmd_range)
 
     pb = sub.add_parser("bench")
     pb.add_argument("files", nargs="*")

@@ -52,10 +52,17 @@ from zzflate_tpu.constants import ANCHOR_TOKENS
 
 ZZ_INDEX_VERSION = 3
 
+# Index flags (the v2/v3 header's `flags` byte).
+# SEEKABLE: every chunk was encoded with a window reset (no halo
+# dictionary), so any chunk decodes from its own segment alone —
+# random-access reads touch only the covering chunks (api.decompress_range).
+ZZ_FLAG_SEEKABLE = 1
+
 
 def gzip_header_indexed(
     chunk_bytes: int,
     chunks: list[tuple[int, list[tuple[int, int]], list[tuple[int, int]]]],
+    flags: int = 0,
 ) -> bytes:
     """chunks: [(seg_bytes, blocks, anchors), ...] where blocks and
     anchors are [(bit_off, out_off), ...] relative to the segment.
@@ -68,8 +75,8 @@ def gzip_header_indexed(
     def build(with_anchors: bool) -> bytearray:
         sub = bytearray(
             struct.pack(
-                "<BBIIH", ZZ_INDEX_VERSION, 0, chunk_bytes, len(chunks),
-                ANCHOR_TOKENS if with_anchors else 0,
+                "<BBIIH", ZZ_INDEX_VERSION, flags, chunk_bytes,
+                len(chunks), ANCHOR_TOKENS if with_anchors else 0,
             )
         )
         for seg_bytes, blocks, anchors in chunks:
@@ -163,6 +170,25 @@ def parse_gzip_index(
                     chunks.append((seg_bytes, blocks, anchors))
                 if ok:
                     return header_len, chunk_bytes, anchor_tokens, chunks
+        pos += 4 + slen
+    return None
+
+
+def gzip_index_flags(data: bytes) -> int | None:
+    """The 'ZZ' subfield's flags byte, or None if the stream carries no
+    parseable index (companion to parse_gzip_index, which keeps its
+    4-tuple shape for existing callers)."""
+    if len(data) < 12 or data[:2] != b"\x1f\x8b" or not (data[3] & 0x04):
+        return None
+    xlen = struct.unpack("<H", data[10:12])[0]
+    extra = data[12 : 12 + xlen]
+    pos = 0
+    while pos + 4 <= len(extra):
+        sid = extra[pos : pos + 2]
+        slen = struct.unpack("<H", extra[pos + 2 : pos + 4])[0]
+        body = extra[pos + 4 : pos + 4 + slen]
+        if sid == b"ZZ" and len(body) >= 10 and body[0] in (2, 3):
+            return body[1]
         pos += 4 + slen
     return None
 
