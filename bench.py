@@ -258,6 +258,28 @@ def main() -> None:
     print(json.dumps(record), flush=True)
     print(f"stages_ms={json.dumps(stages)}", file=sys.stderr, flush=True)
 
+    if engine == "tpu":
+        # The decode/detail sections below are stderr-only color; the
+        # metric is already out. If the device wedges down there (seen:
+        # 35+ min hangs mid-indexed-compile), exit cleanly instead of
+        # eating the caller's whole timeout budget.
+        import threading as _th
+
+        tail_deadline = float(
+            os.environ.get("ZZFLATE_BENCH_TAIL_DEADLINE", "1200")
+        )
+
+        def _tail_suicide():
+            import time as _t
+
+            _t.sleep(tail_deadline)
+            print("bench tail deadline: device wedged in the decode "
+                  "section; exiting with the metric already emitted",
+                  file=sys.stderr, flush=True)
+            os._exit(0)
+
+        _th.Thread(target=_tail_suicide, daemon=True).start()
+
     # Native C encode engine (stderr detail; the host serving path).
     enc_native = 0.0
     try:
