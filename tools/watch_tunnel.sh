@@ -26,6 +26,8 @@ while true; do
       log "running bench.py"
       timeout 3000 python bench.py > "$OUT/bench_$ts.out" 2> "$OUT/bench_$ts.err"
       log "bench rc=$? -> $OUT/bench_$ts.out"
+      timeout 1800 python tools/profile_matcher.py > "$OUT/prof_$ts.out" 2> "$OUT/prof_$ts.err"
+      log "profile_matcher rc=$? -> $OUT/prof_$ts.out"
       timeout 3600 python tools/chip_ab.py > "$OUT/ab_$ts.out" 2> "$OUT/ab_$ts.err"
       log "chip_ab rc=$? -> $OUT/ab_$ts.out"
       RAN_BENCH=1
