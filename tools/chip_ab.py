@@ -35,23 +35,6 @@ print(json.dumps({"cell": %(cell)r, "dec_tpu_dev_MBps":
                   round(len(data) / 1e6 / best, 2)}))
 """
 
-ENC_BODY = r"""
-import time, json, sys, zlib
-sys.path.insert(0, %(here)r)
-import bench, zzflate_tpu as zf
-data = bench.build_corpus()
-out = zf.compress(data, level=6, format="gzip", chunk_bytes=1 << 18)
-assert zlib.decompress(out, wbits=31) == data
-best = 9e9
-for _ in range(3):
-    t0 = time.perf_counter()
-    zf.compress(data, level=6, format="gzip", chunk_bytes=1 << 18)
-    best = min(best, time.perf_counter() - t0)
-print(json.dumps({"cell": %(cell)r, "enc_MBps":
-                  round(len(data) / 1e6 / best, 2)}))
-"""
-
-
 def run(cell: str, body: str, env_extra: dict, timeout: int = 2400):
     env = dict(os.environ, **env_extra)
     try:
@@ -67,15 +50,16 @@ def run(cell: str, body: str, env_extra: dict, timeout: int = 2400):
 
 
 def main():
+    # Compiles are the scarce resource on the tunneled platform (the
+    # remote compile service wedges; see BASELINE.md round 3): run only
+    # the two decisive decode cells. (The Pallas parse cell is omitted —
+    # Mosaic rejects that kernel's dynamic lane accesses on real TPUs,
+    # ops/pallas_kernels.py.)
     for vmap in ("0", "1"):
-        for unroll in ("1", "4"):
-            cell = f"dec vmap={vmap} unroll={unroll}"
-            run(cell, DEC_BODY % {"here": HERE, "cell": cell},
-                {"ZZFLATE_WALK_VMAP": vmap, "ZZFLATE_WALK_UNROLL": unroll})
-    for pp in ("", "1"):
-        cell = f"enc pallas_parse={pp or '0'}"
-        run(cell, ENC_BODY % {"here": HERE, "cell": cell},
-            {"ZZFLATE_PALLAS_PARSE": pp})
+        cell = f"dec vmap={vmap}"
+        run(cell, DEC_BODY % {"here": HERE, "cell": cell},
+            {"ZZFLATE_WALK_VMAP": vmap, "ZZFLATE_WALK_UNROLL": "1"},
+            timeout=1800)
 
 
 if __name__ == "__main__":
