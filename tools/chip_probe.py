@@ -1,0 +1,125 @@
+"""Decisive sort-shape probes on the real chip (round 4).
+
+The matcher's lax.sort calls are the dominant encode cost
+(analyze_fetch_freqs ~970 ms of a 1.57 s bench wall, BASELINE.md), and
+round-2 session notes claim each sort costs ~190 ms per 2 MiB
+*regardless of operand count* — which smells pass-count-bound, not
+bandwidth-bound. If true, the lever is more data per sort call (bigger
+batch, power-of-two rows), not narrower keys. This script measures
+exactly that, one tiny graph per cell, printing one JSON line per cell
+as it goes (incremental flush: a mid-script wedge keeps earlier cells).
+
+Run under `timeout`; cells are ordered most-decisive-first.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from zzflate_tpu.ops import matcher as M
+
+KW = 16  # level-6 key_words
+
+
+def timeit(fn, *args, reps=3):
+    out = fn(*args)
+    _ = float(np.asarray(out).ravel()[0])
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        _ = float(np.asarray(out).ravel()[0])
+        best = min(best, time.perf_counter() - t0)
+    return best * 1000.0
+
+
+def emit(cell, ms, mib):
+    print(
+        json.dumps({
+            "cell": cell, "ms": round(ms, 1),
+            "ms_per_MiB": round(ms / mib, 2),
+        }),
+        flush=True,
+    )
+
+
+def sort_cell(name, b, n, nops, reps=3):
+    """Time lax.sort of (b, n) rows with nops u32 key operands + pos."""
+    raw = (open("/usr/include/zlib.h", "rb").read() * 600)[: b * n]
+    data = jnp.asarray(np.frombuffer(raw, np.uint8).reshape(b, n))
+
+    @jax.jit
+    def f(d):
+        def one(dd):
+            w = M._pack_words(dd, nops)
+            pos = jnp.arange(n, dtype=jnp.int32)
+            out = jax.lax.sort(
+                tuple(w) + (pos,), num_keys=nops, is_stable=True
+            )
+            return out[nops]
+        sp = jax.vmap(one)(d)
+        return jnp.sum(sp[:, ::256].astype(jnp.int32))
+
+    try:
+        ms = timeit(f, data, reps=reps)
+    except Exception as e:  # noqa: BLE001
+        print(json.dumps({"cell": name, "error": repr(e)[:200]}), flush=True)
+        return
+    emit(name, ms, b * n / (1 << 20))
+
+
+def main():
+    sel = set(sys.argv[1:])
+
+    def want(name):
+        return not sel or name in sel
+
+    # 1) Baseline: the production L6 sortB shape (16 chunks x 288 KiB).
+    if want("base"):
+        sort_cell("sortB 16x294912 k16", 16, 294912, KW)
+    # 2) Batch scaling: same rows, 4x the batch. If ms barely moves,
+    #    sort is pass-bound and bigger dispatches are ~free throughput.
+    if want("batch"):
+        sort_cell("sortB 64x294912 k16", 64, 294912, KW)
+    # 3) Power-of-two rows: 294912 pads to 524288 inside a bitonic sort;
+    #    do explicit 2^19 rows cost the same (=> 1.78x free data)?
+    if want("pow2"):
+        sort_cell("sortB 16x524288 k16", 16, 524288, KW)
+    # 4) Narrow key: half the operands at the same shape.
+    if want("narrow"):
+        sort_cell("sortB 16x294912 k8", 16, 294912, 8)
+    # 5) Segmented: many short rows (window-local sorts).
+    if want("seg"):
+        sort_cell("sortB 128x65536 k16", 128, 65536, KW)
+    # 6) Reference: the full production matcher at L6 shapes.
+    if want("full"):
+        raw = (open("/usr/include/zlib.h", "rb").read() * 600)[: 16 * 294912]
+        data = jnp.asarray(np.frombuffer(raw, np.uint8).reshape(16, 294912))
+        ve = jnp.full((16,), 294912, jnp.int32)
+        ws = jnp.zeros((16,), jnp.int32)
+
+        @jax.jit
+        def f(d, v, w):
+            ml, md = jax.vmap(
+                lambda dd, vv, ww: M.find_matches(dd, vv, ww, 16, key_words=KW)
+            )(d, v, w)
+            return jnp.sum(ml[:, ::256] + md[:, ::256])
+
+        try:
+            ms = timeit(f, data, ve, ws)
+            emit("find_matches 16x294912 L6", ms, 16 * 294912 / (1 << 20))
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"cell": "find_matches", "error": repr(e)[:200]}),
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -3,6 +3,11 @@
 # device op completes, run the real-chip bench (and any queued probe
 # scripts) once, then keep watching so later outages are logged.
 # Results land in /tmp/tunnel_watch/ with timestamps.
+#
+# If $OUT/need_probe exists, tools/chip_probe.py runs FIRST in the next
+# window (small decisive sort-shape graphs; ~10 min) and the flag is
+# removed on success — so a wedge mid-probe still leaves the flag for
+# the window after. Queue one with: touch /tmp/tunnel_watch/need_probe
 set -u
 OUT=/tmp/tunnel_watch
 mkdir -p "$OUT"
@@ -23,13 +28,24 @@ while true; do
     log "device RESPONSIVE (x2)"
     if [ "$RAN_BENCH" = 0 ]; then
       ts=$(date -u +%s)
+      if [ -e "$OUT/need_probe" ]; then
+        log "running chip_probe.py"
+        timeout 1800 python tools/chip_probe.py > "$OUT/probe_$ts.out" 2> "$OUT/probe_$ts.err"
+        rc=$?
+        log "chip_probe rc=$rc -> $OUT/probe_$ts.out"
+        # Success (or partial output) clears the flag; a total wedge
+        # with zero cells keeps it queued for the next window.
+        if [ -s "$OUT/probe_$ts.out" ]; then rm -f "$OUT/need_probe"; fi
+      fi
       log "running bench.py"
       timeout 3000 python bench.py > "$OUT/bench_$ts.out" 2> "$OUT/bench_$ts.err"
       log "bench rc=$? -> $OUT/bench_$ts.out"
-      timeout 1800 python tools/profile_matcher.py > "$OUT/prof_$ts.out" 2> "$OUT/prof_$ts.err"
-      log "profile_matcher rc=$? -> $OUT/prof_$ts.out"
-      timeout 3600 python tools/chip_ab.py > "$OUT/ab_$ts.out" 2> "$OUT/ab_$ts.err"
-      log "chip_ab rc=$? -> $OUT/ab_$ts.out"
+      if [ -e "$OUT/need_ab" ]; then
+        log "running chip_ab.py"
+        timeout 3600 python tools/chip_ab.py > "$OUT/ab_$ts.out" 2> "$OUT/ab_$ts.err"
+        log "chip_ab rc=$? -> $OUT/ab_$ts.out"
+        rm -f "$OUT/need_ab"
+      fi
       RAN_BENCH=1
     fi
   else
