@@ -1,13 +1,22 @@
 """Benchmark: end-to-end encode throughput vs single-thread zlib level 6.
 
-Prints ONE JSON line:
-  {"metric": "encode_MBps_level6", "value": N, "unit": "MB/s",
-   "vs_baseline": N / zlib6_MBps_measured_now}
+Prints TWO JSON lines (round-3 verdict item #3: the two engines are
+separate metrics every round, never substituted for each other):
+
+  {"metric": "encode_MBps_level6", ...}          # TPU pipeline; value 0
+                                                 # + note when the device
+                                                 # is unresponsive/wedged
+  {"metric": "encode_MBps_level6_native", ...}   # host C engine
 
 The corpus is the deterministic 8 MiB mixed recipe from BASELINE.md
 (headers + XML-ish text + binary), regenerated locally so the numbers are
 comparable across rounds. Everything else (ratio, per-stage info) goes to
 stderr. Run on the real chip by default; JAX_PLATFORMS=cpu for smoke.
+
+--scaling: CPU-mesh scaling proxy (1/2/4/8 simulated devices, fixed
+total bytes through parallel.compress_sharded) — the stand-in for the
+multi-host >=80% gate (BASELINE.json:2,5) on a box with one chip.
+--full [--mib=N]: per-level ratio table on the Silesia-like fixture.
 """
 from __future__ import annotations
 
@@ -19,9 +28,11 @@ import zlib
 
 import numpy as np
 
-CHUNK_BYTES = 1 << 18
+import os as _os
+
+CHUNK_BYTES = int(_os.environ.get("ZZFLATE_BENCH_CHUNK", 1 << 18))
 LEVEL = 6
-TARGET_BYTES = 8 << 20
+TARGET_BYTES = int(float(_os.environ.get("ZZFLATE_BENCH_MIB", "8")) * (1 << 20))
 REPS = 3
 
 
@@ -132,6 +143,66 @@ def _platform_responsive(timeout_s: float = 150.0) -> bool:
         return False
 
 
+def scaling_table(total_mib: int = 16, chunk_kib: int = 64) -> None:
+    """--scaling: fixed-total-bytes encode through compress_sharded on a
+    simulated CPU mesh of 1/2/4/8 devices.
+
+    What this measures on a chip-less box: the sharding machinery's
+    overhead. Total compute is constant (same bytes, same graphs) and the
+    8 virtual devices share this host's cores, so the multi-chip layout
+    is healthy when wall time stays FLAT as the mesh grows —
+    eff_proxy(n) = T(1)/T(n), perfect = 1.0. On real chips the same
+    NamedSharding layout splits that constant compute across real
+    silicon (chunks are independent; XLA inserts no cross-device
+    collectives in the hot path), which is what the >=80% linear-scaling
+    gate (BASELINE.json:5) is about. Results + the chip-budget
+    projection are recorded in BASELINE.md; tests/test_scaling.py gates
+    eff_proxy(8) >= 0.7.
+    """
+    import os
+
+    os.environ.setdefault("XLA_FLAGS", "")
+    if "--xla_force_host_platform_device_count" not in os.environ["XLA_FLAGS"]:
+        os.environ["XLA_FLAGS"] += " --xla_force_host_platform_device_count=8"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from zzflate_tpu.parallel import sharded
+
+    data = build_corpus(total_mib << 20)
+    mb = len(data) / 1e6
+    devs = jax.devices()
+    rows = []
+    for n in (1, 2, 4, 8):
+        mesh = sharded.make_mesh(devs[:n])
+        out = sharded.compress_sharded(
+            data, level=LEVEL, format="gzip", mesh=mesh,
+            chunk_bytes=chunk_kib << 10,
+        )  # warm/compile
+        assert zlib.decompress(out, wbits=31) == data
+        best = 9e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            sharded.compress_sharded(
+                data, level=LEVEL, format="gzip", mesh=mesh,
+                chunk_bytes=chunk_kib << 10,
+            )
+            best = min(best, time.perf_counter() - t0)
+        rows.append((n, best, mb / best))
+        print(f"devices={n} wall={best:.2f}s {mb/best:.2f} MB/s",
+              file=sys.stderr, flush=True)
+    t1 = rows[0][1]
+    for n, t, mbps in rows:
+        print(f"devices={n}  wall={t:.2f}s  MBps={mbps:.2f}  "
+              f"eff_proxy={t1/t:.3f}")
+    print(json.dumps({
+        "metric": "scaling_eff_proxy_8dev", "value": round(t1 / rows[-1][1], 3),
+        "unit": "T1/T8 (fixed total bytes, CPU mesh)",
+        "vs_baseline": round((t1 / rows[-1][1]) / 0.8, 3),
+    }), flush=True)
+
+
 def main() -> None:
     import os
 
@@ -142,16 +213,14 @@ def main() -> None:
         not _platform_responsive()
     ):
         # The tunneled chip sometimes stops executing entirely (BASELINE.md
-        # outage notes). Running the TPU-shaped pipeline on host XLA says
-        # nothing about the framework (~0.2 MB/s of interpreter overhead);
-        # the framework's real throughput on a chip-less box is its native
-        # C engine, so that becomes the headline, clearly noted.
+        # outage notes). The TPU metric is reported as 0 with a note (it
+        # is NOT substituted — round-3 verdict item #3); the native C
+        # engine line below still carries the host number.
         jax.config.update("jax_platforms", "cpu")
-        platform_note = "native_engine(device unresponsive)"
+        platform_note = "device unresponsive"
         print(
-            "WARNING: device platform unresponsive; headline measures the"
-            " native C engine (the host serving path); pipeline numbers"
-            " below run on CPU XLA",
+            "WARNING: device platform unresponsive; TPU metric is 0 this"
+            " run; the native line is the host serving path",
             file=sys.stderr,
         )
 
@@ -180,48 +249,65 @@ def main() -> None:
 
     from zzflate_tpu.utils import profiling
 
-    engine = "native" if platform_note else "tpu"
-    if engine == "tpu":
-        # The device can pass the probe and then wedge mid-compile (the
-        # tunnel outage pattern, BASELINE.md). A hung bench records NO
-        # metric at all, so: measure the native engine first (cheap,
-        # pure host), then run the device path under a hard deadline on
-        # a watchdog thread — if it blows, emit the native headline
-        # instead of hanging forever.
-        import threading
+    # Native C engine (host serving path) — measured FIRST, always, so
+    # its metric line survives any device wedge below.
+    from zzflate_tpu import native as _zn
 
-        from zzflate_tpu import native as _zn
+    nat_best = 9e9
+    if _zn.lib() is not None:
+        nout = _zn.deflate_raw_mt(data, level=LEVEL)  # warm
+        assert zlib.decompress(nout, wbits=-15) == data
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _zn.deflate_raw_mt(data, level=LEVEL)
+            nat_best = min(nat_best, time.perf_counter() - t0)
+    nat_mbps = round(mb / nat_best, 2) if nat_best < 9e9 else 0.0
 
-        nat_best = 9e9
-        if _zn.lib() is not None:
-            _zn.deflate_raw_mt(data, level=LEVEL)  # warm
-            for _ in range(3):
-                t0 = time.perf_counter()
-                _zn.deflate_raw_mt(data, level=LEVEL)
-                nat_best = min(nat_best, time.perf_counter() - t0)
+    def native_record() -> str:
+        return json.dumps({
+            "metric": "encode_MBps_level6_native", "value": nat_mbps,
+            "unit": "MB/s", "vs_baseline": round(nat_mbps / zlib_mbps, 3),
+        })
 
-        deadline_s = float(os.environ.get("ZZFLATE_BENCH_DEADLINE", "2000"))
-        done = threading.Event()
+    def tpu_record(v: float, note: str | None) -> str:
+        rec = {
+            "metric": "encode_MBps_level6", "value": round(v, 2),
+            "unit": "MB/s", "vs_baseline": round(v / zlib_mbps, 3),
+        }
+        if note:
+            rec["note"] = note
+        return json.dumps(rec)
 
-        def _suicide():
-            if not done.wait(deadline_s):
-                v = round(mb / nat_best, 2) if nat_best < 9e9 else 0.0
-                print(
-                    json.dumps({
-                        "metric": "encode_MBps_level6", "value": v,
-                        "unit": "MB/s",
-                        "vs_baseline": round(v / zlib_mbps, 3),
-                        "note": "native_engine(device wedged mid-bench)",
-                    }),
-                    flush=True,
-                )
-                os._exit(3)
+    if platform_note:
+        # Device dead at probe time: report TPU as 0 (never substituted),
+        # then the native engine's own line, and stop — pipeline numbers
+        # on CPU XLA say nothing about the framework.
+        print(tpu_record(0.0, platform_note), flush=True)
+        print(native_record(), flush=True)
+        return
 
-        threading.Thread(target=_suicide, daemon=True).start()
+    # The device can pass the probe and then wedge mid-compile (the
+    # tunnel outage pattern, BASELINE.md). A hung bench records NO
+    # metric at all, so run the device path under a hard deadline on a
+    # watchdog thread — if it blows, emit both metric lines (TPU = 0
+    # with a note) and exit.
+    import threading
+
+    deadline_s = float(os.environ.get("ZZFLATE_BENCH_DEADLINE", "2000"))
+    done = threading.Event()
+
+    def _suicide():
+        if not done.wait(deadline_s):
+            print(tpu_record(0.0, "device wedged mid-bench"), flush=True)
+            print(native_record(), flush=True)
+            os._exit(3)
+
+    threading.Thread(target=_suicide, daemon=True).start()
+
     # Warmup / compile.
     out = zf.compress(
         data, level=LEVEL, format="gzip", chunk_bytes=CHUNK_BYTES,
-        engine=engine,
+        engine="tpu",
     )
     assert zlib.decompress(out, wbits=31) == data, "round-trip failed"
 
@@ -232,53 +318,43 @@ def main() -> None:
             t0 = time.perf_counter()
             out = zf.compress(
                 data, level=LEVEL, format="gzip", chunk_bytes=CHUNK_BYTES,
-                engine=engine,
+                engine="tpu",
             )
             dt = time.perf_counter() - t0
         times.append(dt)
         if stages is None or dt == min(times):
             stages = timer.as_ms()
-    if engine == "tpu":
-        done.set()
+    done.set()
     best = min(times)
     mbps = mb / best
 
-    # Emit the headline JSON line FIRST: first compiles through the
-    # remote relay can take tens of minutes, and an external timeout
-    # during the decode section below must not destroy the encode
-    # metric already measured.
-    record = {
-        "metric": "encode_MBps_level6",
-        "value": round(mbps, 2),
-        "unit": "MB/s",
-        "vs_baseline": round(mbps / zlib_mbps, 3),
-    }
-    if platform_note:
-        record["note"] = platform_note
-    print(json.dumps(record), flush=True)
+    # Emit both metric lines FIRST: first compiles through the remote
+    # relay can take tens of minutes, and an external timeout during the
+    # decode section below must not destroy the metrics already measured.
+    print(tpu_record(mbps, None), flush=True)
+    print(native_record(), flush=True)
     print(f"stages_ms={json.dumps(stages)}", file=sys.stderr, flush=True)
 
-    if engine == "tpu":
-        # The decode/detail sections below are stderr-only color; the
-        # metric is already out. If the device wedges down there (seen:
-        # 35+ min hangs mid-indexed-compile), exit cleanly instead of
-        # eating the caller's whole timeout budget.
-        import threading as _th
+    # The decode/detail sections below are stderr-only color; the
+    # metrics are already out. If the device wedges down there (seen:
+    # 35+ min hangs mid-indexed-compile), exit cleanly instead of
+    # eating the caller's whole timeout budget.
+    import threading as _th
 
-        tail_deadline = float(
-            os.environ.get("ZZFLATE_BENCH_TAIL_DEADLINE", "1200")
-        )
+    tail_deadline = float(
+        os.environ.get("ZZFLATE_BENCH_TAIL_DEADLINE", "1200")
+    )
 
-        def _tail_suicide():
-            import time as _t
+    def _tail_suicide():
+        import time as _t
 
-            _t.sleep(tail_deadline)
-            print("bench tail deadline: device wedged in the decode "
-                  "section; exiting with the metric already emitted",
-                  file=sys.stderr, flush=True)
-            os._exit(0)
+        _t.sleep(tail_deadline)
+        print("bench tail deadline: device wedged in the decode "
+              "section; exiting with the metrics already emitted",
+              file=sys.stderr, flush=True)
+        os._exit(0)
 
-        _th.Thread(target=_tail_suicide, daemon=True).start()
+    _th.Thread(target=_tail_suicide, daemon=True).start()
 
     # Native C encode engine (stderr detail; the host serving path).
     enc_native = 0.0
@@ -302,14 +378,9 @@ def main() -> None:
     from zzflate_tpu.models import inflate_tpu
 
     dec_tpu = dec_tpu_dev = 0.0
-    oi = None
-    if not platform_note:
-        # Device decode numbers only mean something on a live device.
+    try:
         oi = zf.compress(data, level=LEVEL, format="gzip",
                          chunk_bytes=CHUNK_BYTES, indexed=True)
-    try:
-        if oi is None:
-            raise RuntimeError("skipped: device unresponsive")
         arr, n = inflate_tpu.decompress_indexed(oi, to_device=True)  # warm
         assert n == len(data)
         t0 = time.perf_counter()
@@ -341,5 +412,11 @@ if __name__ == "__main__":
             if a.startswith("--mib="):
                 mib = int(a.split("=")[1])
         full_ratio_table(mib)
+    elif "--scaling" in sys.argv:
+        mib = 16
+        for a in sys.argv[1:]:
+            if a.startswith("--mib="):
+                mib = int(a.split("=")[1])
+        scaling_table(mib)
     else:
         main()

@@ -116,3 +116,16 @@ def test_seekable_random_access():
                        indexed=True)
     assert not (containers.gzip_index_flags(out2) or 0) & 1
     assert zf.decompress_range(out2, 30000, 9000) == data[30000:39000]
+
+
+def test_range_and_indexed_edges():
+    """Round-4 edge hardening: the unindexed decompress_range fallback
+    bounds-checks like the indexed path, and indexed level 0 is
+    rejected instead of silently dropping the index."""
+    data = open("/usr/include/zlib.h", "rb").read()[:20000]
+    plain = zf.compress(data, level=6, format="gzip", chunk_bytes=4096)
+    assert zf.decompress_range(plain, 100, 50) == data[100:150]
+    with pytest.raises(ValueError):
+        zf.decompress_range(plain, len(data) - 4, 10)
+    with pytest.raises(ValueError):
+        zf.compress(data, level=0, format="gzip", indexed=True)

@@ -62,3 +62,28 @@ def test_truncated_raises_badgzipfile():
         gz.decompress(blob[: len(blob) - 5])
     with pytest.raises(gz.BadGzipFile):
         gz.decompress(b"\x1f\x8bnot really a gzip stream at all....")
+
+
+def test_mtime_written_and_stdlib_matches():
+    import struct
+    import time as _time
+
+    # Explicit mtime lands in the header MTIME field (RFC 1952), like
+    # stdlib gzip.compress(..., mtime=N).
+    b = gz.compress(b"payload" * 50, mtime=1234567890)
+    assert struct.unpack("<I", b[4:8])[0] == 1234567890
+    assert std_gzip.decompress(b) == b"payload" * 50
+    # mtime=None means "now" (stdlib contract).
+    t0 = int(_time.time())
+    b2 = gz.compress(b"x", mtime=None)
+    assert t0 <= struct.unpack("<I", b2[4:8])[0] <= t0 + 5
+    # Default module-level API stays reproducible (mtime in api.compress
+    # is 0) — only the gzip facade mirrors stdlib's timestamping.
+
+
+def test_empty_file_reads_empty():
+    # EOF before any member is normal end-of-stream (stdlib returns
+    # b''), not a truncated stream.
+    f = io.BytesIO(b"")
+    with gz.GzipFile(fileobj=f, mode="rb") as g:
+        assert g.read() == b""

@@ -304,3 +304,19 @@ def test_native_mt_stitching_roundtrip():
 
     out = zf.compress(data, level=6, format="gzip", engine="native")
     assert zlib.decompress(out, wbits=31) == data
+
+
+def test_mt_output_machine_independent():
+    """deflate_raw_mt bytes depend only on (data, parameters): the chunk
+    layout never varies with thread count / core count (round-3 advisor
+    finding)."""
+    text = open("/usr/include/zlib.h", "rb").read()
+    data = (text * 20)[: 2 << 20]
+    outs = {
+        native.deflate_raw_mt(
+            data, level=6, chunk_bytes=1 << 20, threads=t
+        )
+        for t in (1, 2, 4)
+    }
+    assert len(outs) == 1  # identical bytes at every worker count
+    assert zlib.decompress(outs.pop(), wbits=-15) == data

@@ -52,14 +52,24 @@ def run(cell: str, body: str, env_extra: dict, timeout: int = 2400):
 def main():
     # Compiles are the scarce resource on the tunneled platform (the
     # remote compile service wedges; see BASELINE.md round 3): run only
-    # the two decisive decode cells. (The Pallas parse cell is omitted —
-    # Mosaic rejects that kernel's dynamic lane accesses on real TPUs,
-    # ops/pallas_kernels.py.)
-    for vmap in ("0", "1"):
-        cell = f"dec vmap={vmap}"
+    # the decisive decode cells. Round-4 hypotheses, from the round-3
+    # on-chip datum (stacked/deferred walk = 2.09 MB/s, WORSE than the
+    # round-2 in-loop-scatter path's 4.80):
+    #   1. anchor=256: 4x fewer sequential walk steps (t_steps 258 vs
+    #      1026) at 4x the lanes — if the loop is step-latency-bound,
+    #      decode scales ~4x.
+    #   2. defer=0 at anchor=256: are the deferred-emit record buffers
+    #      (three (t_steps, lanes) DUS per step) the chip regression?
+    for cell, env in (
+        ("dec anchor=256 vmap=1 defer=1",
+         {"ZZFLATE_ANCHOR_TOKENS": "256", "ZZFLATE_WALK_VMAP": "1",
+          "ZZFLATE_WALK_DEFER": "1"}),
+        ("dec anchor=256 vmap=1 defer=0",
+         {"ZZFLATE_ANCHOR_TOKENS": "256", "ZZFLATE_WALK_VMAP": "1",
+          "ZZFLATE_WALK_DEFER": "0"}),
+    ):
         run(cell, DEC_BODY % {"here": HERE, "cell": cell},
-            {"ZZFLATE_WALK_VMAP": vmap, "ZZFLATE_WALK_UNROLL": "1"},
-            timeout=1800)
+            dict(env, ZZFLATE_WALK_UNROLL="1"), timeout=1800)
 
 
 if __name__ == "__main__":

@@ -76,11 +76,18 @@ def sort_cell(name, b, n, nops, reps=3):
     emit(name, ms, b * n / (1 << 20))
 
 
+# Default cell set. Phase-1 (sort shapes) was measured 2026-08-20 11:51
+# on-chip: sortB(16,294912,k16)=101ms, (64,294912)=317ms (17.6/MiB),
+# (16,524288)=145ms (18.1/MiB), k8=58.6ms. Sorts are ~30% of analyze;
+# the default now runs the phase-2 cells that locate the other ~600ms.
+_DEFAULT = ("full", "full8", "parse", "hist", "prop")
+
+
 def main():
     sel = set(sys.argv[1:])
 
     def want(name):
-        return not sel or name in sel
+        return name in sel if sel else name in _DEFAULT
 
     # 1) Baseline: the production L6 sortB shape (16 chunks x 288 KiB).
     if want("base"):
@@ -100,7 +107,7 @@ def main():
     if want("seg"):
         sort_cell("sortB 128x65536 k16", 128, 65536, KW)
     # 6) Reference: the full production matcher at L6 shapes.
-    if want("full"):
+    def full_cell(name, kw):
         raw = (open("/usr/include/zlib.h", "rb").read() * 600)[: 16 * 294912]
         data = jnp.asarray(np.frombuffer(raw, np.uint8).reshape(16, 294912))
         ve = jnp.full((16,), 294912, jnp.int32)
@@ -109,15 +116,99 @@ def main():
         @jax.jit
         def f(d, v, w):
             ml, md = jax.vmap(
-                lambda dd, vv, ww: M.find_matches(dd, vv, ww, 16, key_words=KW)
+                lambda dd, vv, ww: M.find_matches(dd, vv, ww, 16, key_words=kw)
             )(d, v, w)
             return jnp.sum(ml[:, ::256] + md[:, ::256])
 
         try:
             ms = timeit(f, data, ve, ws)
-            emit("find_matches 16x294912 L6", ms, 16 * 294912 / (1 << 20))
+            emit(name, ms, 16 * 294912 / (1 << 20))
         except Exception as e:  # noqa: BLE001
-            print(json.dumps({"cell": "find_matches", "error": repr(e)[:200]}),
+            print(json.dumps({"cell": name, "error": repr(e)[:200]}),
+                  flush=True)
+
+    if want("full"):
+        full_cell("find_matches 16x294912 L6", KW)
+
+    # ---- phase 2 (round-4): where do the OTHER ~600 ms of analyze go? ----
+    # The phase-1 cells put both sorts at ~150 ms of the ~970 ms analyze
+    # fetch; these isolate the remaining stages at production shapes.
+    B, N = 16, 294912
+    if sel & {"parse", "hist", "scan", "prop", "full8"} or not sel:
+        raw = (open("/usr/include/zlib.h", "rb").read() * 600)[: B * N]
+        data16 = jnp.asarray(np.frombuffer(raw, np.uint8).reshape(B, N))
+        rng = np.random.default_rng(0)
+        ml0 = rng.integers(3, 259, size=(B, N)).astype(np.int32)
+        ml0 = np.where(rng.random((B, N)) < 0.6, 0, ml0)
+        md0 = rng.integers(1, 32769, size=(B, N)).astype(np.int32)
+        mlj = jnp.asarray(ml0)
+        mdj = jnp.asarray(md0)
+
+    if want("full8"):
+        full_cell("find_matches 16x294912 L6 w8", 8)
+
+    if want("parse"):
+        st = jnp.full((B,), 32768, jnp.int32)
+        vep = jnp.full((B,), N, jnp.int32)
+
+        @jax.jit
+        def fparse(ml, md):
+            com, take = M.parse_commit_batch(
+                ml, md, st, vep, lazy=True, max_lazy=16, nice=128
+            )
+            return jnp.sum(com[:, ::256].astype(jnp.int32))
+
+        try:
+            ms = timeit(fparse, mlj, mdj)
+            emit("parse_commit_batch 16x294912", ms, B * N / (1 << 20))
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"cell": "parse", "error": repr(e)[:200]}),
+                  flush=True)
+
+    if want("hist"):
+        from zzflate_tpu.models import deflate_encoder as DE
+        from zzflate_tpu.ops import huffman as H
+
+        @jax.jit
+        def fhist(sym, com):
+            bounds = DE.sub_block_bounds(N)
+
+            def one(s, c):
+                return jnp.stack([
+                    H.histogram(s[a:b], c[a:b], 288)
+                    for a, b in zip(bounds[:-1], bounds[1:])
+                ])
+
+            return jnp.sum(jax.vmap(one)(sym, com)[:, :, ::7])
+
+        sym = jnp.asarray(
+            rng.integers(0, 286, size=(B, N)).astype(np.int32)
+        )
+        com = jnp.asarray(rng.random((B, N)) < 0.5)
+        try:
+            ms = timeit(fhist, sym, com)
+            emit("histogram_ll 16x294912x4sb", ms, B * N / (1 << 20))
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"cell": "hist", "error": repr(e)[:200]}),
+                  flush=True)
+
+    if want("prop"):
+        from zzflate_tpu.ops import pallas_kernels as PK
+
+        pk0 = jnp.asarray(
+            np.where(ml0 > 0, (ml0 << 15) | (32768 - md0), 0
+                     ).astype(np.int32)
+        )
+
+        @jax.jit
+        def fprop(pk):
+            return jnp.sum(jax.vmap(PK.propagate_matches)(pk)[:, ::256])
+
+        try:
+            ms = timeit(fprop, pk0)
+            emit("propagate_pallas 16x294912", ms, B * N / (1 << 20))
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"cell": "prop", "error": repr(e)[:200]}),
                   flush=True)
 
 

@@ -14,6 +14,7 @@ import numpy as np
 
 from zzflate_tpu import config as cfg_mod
 from zzflate_tpu.config import CodecConfig
+from zzflate_tpu.native import adler32 as _nadler32, crc32 as _ncrc32
 from zzflate_tpu.models import deflate_encoder, inflate
 from zzflate_tpu.utils import containers
 
@@ -89,8 +90,9 @@ def _device_batch(chunk_bytes: int, mem_level: int = 8) -> int:
     contract) scales the budget: each level below 8 halves it, 9
     doubles it."""
     shift = mem_level - 8
-    budget = (4 << 20) << shift if shift >= 0 else (4 << 20) >> -shift
-    return max(1, min(16, budget // chunk_bytes))
+    base = int(os.environ.get("ZZFLATE_BATCH_MIB", "4")) << 20
+    budget = base << shift if shift >= 0 else base >> -shift
+    return max(1, min(64, budget // chunk_bytes))
 
 
 def _encode_segments(
@@ -575,6 +577,11 @@ def compress(
         raise ValueError("indexed output requires engine='tpu'")
     if seekable and not indexed:
         raise ValueError("seekable output requires indexed=True")
+    if indexed and level == 0:
+        # Level 0 is one whole-stream stored run (no per-chunk segments
+        # to index); rejecting beats silently emitting an unindexed
+        # stream with the indexed/seekable promise dropped.
+        raise ValueError("indexed output requires level >= 1")
 
     segments: list[bytes] | None = None
     if level == 0:
@@ -589,6 +596,11 @@ def compress(
             data, level=level, dictionary=dictionary or b"",
             max_dist=min(32768, 1 << config.window_bits), final=True,
             strategy=strategy,
+            # The native engine's chunk granularity: at least 1 MiB (its
+            # serving-path sweet spot), honoring larger explicit values.
+            # Output bytes depend only on (data, parameters) — never on
+            # this machine's core count (deflate_raw_mt contract).
+            chunk_bytes=max(chunk_bytes, 1 << 20),
         )
         # Whole-stream stored fallback keeps the compress_bound contract
         # (the native encoder's per-64 KiB blocks each add ~10 framing
@@ -618,11 +630,11 @@ def compress(
     if format == "raw":
         return payload
     if format == "zlib":
-        dictid = _zlib.adler32(dictionary) if dictionary is not None else None
+        dictid = _nadler32(dictionary) if dictionary is not None else None
         return (
             containers.zlib_header(level, dictid, config.window_bits)
             + payload
-            + containers.zlib_trailer(_zlib.adler32(data))
+            + containers.zlib_trailer(_nadler32(data))
         )
     if indexed and segments is not None:
         hdr = containers.gzip_header_indexed(
@@ -641,7 +653,7 @@ def compress(
     return (
         hdr
         + payload
-        + containers.gzip_trailer(_zlib.crc32(data), len(data))
+        + containers.gzip_trailer(_ncrc32(data), len(data))
     )
 
 
@@ -687,9 +699,12 @@ def decompress_range(
         raise ValueError("offset/length must be non-negative")
     parsed = containers.parse_gzip_index(data)
     if parsed is None:
-        return inflate.decompress(data, format="gzip")[
-            offset : offset + length
-        ]
+        out = inflate.decompress(data, format="gzip")
+        if offset + length > len(out):
+            # Same contract as the indexed path below: out-of-range
+            # reads raise instead of silently truncating.
+            raise ValueError("range beyond the decoded stream")
+        return out[offset : offset + length]
     header_len, chunk_bytes, _anchor_tokens, chunks = parsed
     member_len = header_len + sum(sz for sz, _b, _a in chunks) + 8
     if member_len > len(data):

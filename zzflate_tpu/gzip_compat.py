@@ -27,10 +27,20 @@ class BadGzipFile(OSError):
     """Mirror of gzip.BadGzipFile."""
 
 
+def _mtime_field(mtime) -> int:
+    """stdlib contract: None -> current time, else the given seconds."""
+    if mtime is None:
+        import time
+
+        return int(time.time())
+    return int(mtime)
+
+
 def compress(data, compresslevel: int = 9, *, mtime=None,
              engine: str = "native") -> bytes:
     c = _stream.Compressor(
-        level=compresslevel, format="gzip", engine=engine
+        level=compresslevel, format="gzip", engine=engine,
+        mtime=_mtime_field(mtime),
     )
     return c.compress(bytes(data)) + c.flush(_stream.Z_FINISH)
 
@@ -75,9 +85,11 @@ class GzipFile(io.RawIOBase):
             self._dec = _stream.Decompressor(format="gzip")
             self._pending = bytearray()
             self._eof = False
+            self._any_input = False
         else:
             self._comp = _stream.Compressor(
-                level=compresslevel, format="gzip", engine=engine
+                level=compresslevel, format="gzip", engine=engine,
+                mtime=_mtime_field(mtime),
             )
 
     # -- write side ---------------------------------------------------------
@@ -102,8 +114,15 @@ class GzipFile(io.RawIOBase):
             raw = self._fp.read(65536)
             try:
                 if raw:
+                    self._any_input = True
                     self._pending += self._dec.decompress(raw)
                 else:
+                    if not self._any_input:
+                        # A zero-byte file is EOF before any member —
+                        # normal end-of-stream (stdlib returns b''),
+                        # not a truncated stream.
+                        self._eof = True
+                        break
                     self._pending += self._dec.flush()
                     if not self._dec.eof:
                         raise BadGzipFile(

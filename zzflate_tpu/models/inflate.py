@@ -15,6 +15,7 @@ import zlib as _zlib
 
 from zzflate_tpu import constants as C
 from zzflate_tpu.utils import containers
+from zzflate_tpu.native import adler32 as _nadler32, crc32 as _ncrc32
 
 
 class BitReader:
@@ -258,7 +259,7 @@ def decompress(
         if dictid is not None:
             if dictionary is None:
                 raise ValueError("stream requires a preset dictionary")
-            if _zlib.adler32(dictionary) != dictid:
+            if _nadler32(dictionary) != dictid:
                 raise ValueError("dictionary id mismatch")
         out, endbit = _inflate_raw_or_value_error(
             data, dictionary or b"", hdr_len * 8
@@ -267,7 +268,7 @@ def decompress(
         if endbyte + 4 > len(data):
             raise ValueError("truncated zlib trailer")
         (adler,) = struct.unpack(">I", data[endbyte : endbyte + 4])
-        if _zlib.adler32(out) != adler:
+        if _nadler32(out) != adler:
             raise ValueError("adler32 mismatch")
         return out
     if format == "gzip":
@@ -287,7 +288,7 @@ def decompress(
             crc, isize = struct.unpack(
                 "<II", member[endbyte : endbyte + 8]
             )
-            if _zlib.crc32(out) != crc:
+            if _ncrc32(out) != crc:
                 raise ValueError("crc32 mismatch")
             if (len(out) & 0xFFFFFFFF) != isize:
                 raise ValueError("isize mismatch")

@@ -333,13 +333,18 @@ def deflate_raw_mt(
     encoded on a thread pool (zzt_deflate releases the GIL) and joined
     with sync-flush framing into ONE valid deflate stream — the same
     stitching contract the multi-chip gather uses. Ratio cost is the
-    usual ~0.3%/MiB-chunk halo truncation."""
+    usual ~0.3%/MiB-chunk halo truncation.
+
+    The chunk layout (and therefore the output bytes) depends ONLY on
+    (data, parameters): inputs above chunk_bytes are chunked even with
+    one worker, so the same call produces identical bytes on any
+    machine — `threads` affects wall-clock only."""
     import concurrent.futures as _cf
     import os as _os
 
     n = len(data)
     nth = threads or min(8, _os.cpu_count() or 1)
-    if n <= chunk_bytes or nth <= 1:
+    if n <= chunk_bytes:
         return deflate_raw(
             data, level=level, dictionary=dictionary, max_dist=max_dist,
             final=final, strategy=strategy,

@@ -931,6 +931,20 @@ static inline int zd_dist_code(int dist) {
   return dist <= 256 ? g_dcode_lo[dist - 1] : g_dcode_hi[(dist - 1) >> 7];
 }
 
+/* Eagerly build every lazily-initialized global table at library load.
+ * deflate_raw_mt runs zzt_deflate on a thread pool; the plain int
+ * ready-flags above are not a safe publication protocol for concurrent
+ * first use (on weakly-ordered CPUs a worker could observe the flag
+ * before the table stores), so all init happens here, single-threaded,
+ * before any API call. The lazy checks remain as a fallback for static
+ * linking setups that skip constructors. */
+__attribute__((constructor)) static void zzt_init_tables(void) {
+  if (!g_fixed_ready) init_fixed();
+  if (!g_crc_ready) init_crc();
+  if (!g_len2code_ready) zd_init_len2code();
+  if (!g_dcode_ready) zd_init_dcode();
+}
+
 /* One block's tokens. */
 typedef struct {
   uint16_t *len;  /* 0 => literal */

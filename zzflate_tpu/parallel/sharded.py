@@ -33,6 +33,7 @@ from jax.sharding import Mesh
 from zzflate_tpu import config as cfg_mod
 from zzflate_tpu.api import _encode_segments
 from zzflate_tpu.config import CodecConfig
+from zzflate_tpu.native import adler32 as _nadler32, crc32 as _ncrc32
 from zzflate_tpu.utils import containers
 
 
@@ -51,32 +52,41 @@ def compress_sharded(
     chunk_bytes: int = cfg_mod.DEFAULT_CHUNK_BYTES,
     dictionary: bytes | None = None,
     indexed: bool = False,
+    seekable: bool = False,
+    mem_level: int = 8,
 ) -> bytes:
     """One-shot distributed compress: chunk batches sharded over `mesh`.
 
     Functionally identical to zzflate_tpu.compress (same chunking => same
     bytes); the difference is the device layout and that stream checksums
-    come from on-device per-chunk partials combined in order.
+    come from on-device per-chunk partials combined in order. seekable /
+    mem_level mirror api.compress (window reset per chunk / per-dispatch
+    device-memory budget).
     """
     data = bytes(data)
-    config = CodecConfig(level=level, format=format, chunk_bytes=chunk_bytes)
+    config = CodecConfig(level=level, format=format, chunk_bytes=chunk_bytes,
+                         mem_level=mem_level)
     if dictionary is not None and format == "gzip":
         raise ValueError("gzip streams cannot carry a preset dictionary")
     if indexed and format != "gzip":
         raise ValueError("indexed output requires format='gzip'")
+    if seekable and not indexed:
+        raise ValueError("seekable output requires indexed=True")
+    if indexed and level == 0:
+        raise ValueError("indexed output requires level >= 1")
     if mesh is None:
         mesh = make_mesh()
 
     nchunks = max(1, -(-len(data) // chunk_bytes))
     if level == 0:
         payload = containers.stored_segment(data, final=True)
-        adler = _zlib.adler32(data)
-        crc = _zlib.crc32(data)
+        adler = _nadler32(data)
+        crc = _ncrc32(data)
         segments = None
     else:
         res = _encode_segments(
             data, config, dictionary, mesh=mesh, with_checksums=True,
-            with_anchors=indexed,
+            with_anchors=indexed, halo=not seekable,
         )
         segments = res["segments"]
         payload = b"".join(segments)
@@ -97,7 +107,7 @@ def compress_sharded(
     if format == "raw":
         return payload
     if format == "zlib":
-        dictid = _zlib.adler32(dictionary) if dictionary is not None else None
+        dictid = _nadler32(dictionary) if dictionary is not None else None
         return (
             containers.zlib_header(level, dictid)
             + payload
@@ -113,6 +123,7 @@ def compress_sharded(
                     res["anchors"],
                 )
             ),
+            flags=containers.ZZ_FLAG_SEEKABLE if seekable else 0,
         )
     else:
         hdr = containers.gzip_header()

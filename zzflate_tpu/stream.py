@@ -19,6 +19,7 @@ import zlib as _zlib
 from zzflate_tpu import config as cfg_mod
 from zzflate_tpu.api import _encode_segments
 from zzflate_tpu.config import CodecConfig
+from zzflate_tpu.native import adler32 as _nadler32, crc32 as _ncrc32
 from zzflate_tpu.models import inflate
 from zzflate_tpu.utils import containers
 
@@ -41,11 +42,13 @@ class Compressor:
         strategy: int = cfg_mod.STRATEGY_DEFAULT,
         mem_level: int = 8,
         engine: str = "tpu",
+        mtime: int = 0,
     ):
         self.config = CodecConfig(
             level=level, format=format, chunk_bytes=chunk_bytes,
             strategy=strategy, mem_level=mem_level,
         )
+        self._mtime = mtime
         if dictionary is not None and format == "gzip":
             raise ValueError("gzip streams cannot carry a preset dictionary")
         if engine not in ("tpu", "native"):
@@ -57,8 +60,8 @@ class Compressor:
         self._header_sent = False
         self._finished = False
         self._isize = 0
-        self._adler = _zlib.adler32(b"")
-        self._crc = _zlib.crc32(b"")
+        self._adler = _nadler32(b"")
+        self._crc = _ncrc32(b"")
         # Sub-byte output state after a Z_BLOCK flush: the stream ends at
         # a block boundary mid-byte; _tail_n bits (LSB-first, in _tail_v's
         # low bits) are held back until later output realigns it.
@@ -73,12 +76,12 @@ class Compressor:
             return b""
         if fmt == "zlib":
             dictid = (
-                _zlib.adler32(self._dictionary)
+                _nadler32(self._dictionary)
                 if self._dictionary is not None
                 else None
             )
             return containers.zlib_header(self.config.level, dictid)
-        return containers.gzip_header()
+        return containers.gzip_header(self._mtime)
 
     def _encode(self, payload: bytes, final: bool) -> bytes:
         """Encode `payload` as sync-flush-framed segments using the current
@@ -179,8 +182,8 @@ class Compressor:
             raise ValueError("stream already finished")
         data = bytes(data)
         self._isize += len(data)
-        self._adler = _zlib.adler32(data, self._adler)
-        self._crc = _zlib.crc32(data, self._crc)
+        self._adler = _nadler32(data, self._adler)
+        self._crc = _ncrc32(data, self._crc)
         self._buf += data
         out = bytearray()
         if not self._header_sent:
@@ -322,7 +325,7 @@ class Decompressor:
                     return False
                 if self.dictionary is None:
                     raise ValueError("stream requires a preset dictionary")
-                if _zlib.adler32(self.dictionary) != dictid:
+                if _nadler32(self.dictionary) != dictid:
                     raise ValueError("dictionary id mismatch")
                 self._window = self.dictionary[-32768:]
             del buf[:hdr_len]
@@ -380,9 +383,9 @@ class Decompressor:
             self._window = (self._window + out)[-32768:]
             self._mlen += len(out)
             if self.format == "zlib":
-                self._check = _zlib.adler32(out, self._check)
+                self._check = _nadler32(out, self._check)
             elif self.format == "gzip":
-                self._check = _zlib.crc32(out, self._check)
+                self._check = _ncrc32(out, self._check)
             self._out += out
         if bfinal:
             drop = (end_bit + 7) >> 3  # trailer is byte-aligned

@@ -33,9 +33,12 @@ def zlib_trailer(adler: int) -> bytes:
     return struct.pack(">I", adler & 0xFFFFFFFF)
 
 
-def gzip_header() -> bytes:
-    # magic, CM=8, FLG=0, mtime=0, XFL=0, OS=255 (unknown)
-    return b"\x1f\x8b\x08\x00\x00\x00\x00\x00\x00\xff"
+def gzip_header(mtime: int = 0) -> bytes:
+    # magic, CM=8, FLG=0, MTIME (LE), XFL=0, OS=255 (unknown). mtime=0 =
+    # "no timestamp" (RFC 1952 2.3.1) — the default keeps outputs
+    # byte-reproducible; gzip_compat passes the stdlib-shaped value.
+    return b"\x1f\x8b\x08\x00" + struct.pack("<I", int(mtime) & 0xFFFFFFFF) \
+        + b"\x00\xff"
 
 
 # Indexed gzip: a 'ZZ' FEXTRA subfield describing the per-chunk segments

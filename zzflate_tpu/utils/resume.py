@@ -20,6 +20,7 @@ from zzflate_tpu import config as cfg_mod
 from zzflate_tpu.api import _encode_segments
 from zzflate_tpu.config import CodecConfig
 from zzflate_tpu.utils import containers
+from zzflate_tpu.native import adler32 as _nadler32, crc32 as _ncrc32
 
 _MANIFEST = "manifest.json"
 
@@ -76,8 +77,8 @@ def compress_to_dir(
         manifest["shards"][key] = {
             "bytes": len(seg),
             "length": len(shard),
-            "adler": _zlib.adler32(shard),
-            "crc": _zlib.crc32(shard),
+            "adler": _nadler32(shard),
+            "crc": _ncrc32(shard),
         }
         with open(mpath, "w") as f:
             json.dump(manifest, f)

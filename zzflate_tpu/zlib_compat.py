@@ -39,8 +39,9 @@ Z_FIXED = _cfg.STRATEGY_FIXED
 
 error = _zlib.error
 
-adler32 = _zlib.adler32  # same contract (zlib.h:1689); host C is optimal
-crc32 = _zlib.crc32      # zlib.h:1727
+# Our own native C implementations (SURVEY.md C3/C4); same contract as
+# zlib.h:1689/1727 (value-seeded, slice-by-8 CRC), stdlib-checked in tests.
+from zzflate_tpu.native import adler32, crc32  # noqa: E402
 
 ZLIB_VERSION = "1.2.13-zzflate-tpu"
 ZLIB_RUNTIME_VERSION = ZLIB_VERSION
