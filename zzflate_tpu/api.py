@@ -670,12 +670,20 @@ def decompress(
     falling back to native for unindexed streams.
     """
     data = bytes(data)
-    if engine == "tpu" and format == "gzip":
+    if engine == "tpu":
         from zzflate_tpu.models import inflate_tpu
 
-        out = inflate_tpu.decompress_indexed(data)
-        if out is not None:
-            return out
+        if format == "gzip":
+            out = inflate_tpu.decompress_indexed(data)
+            if out is not None:
+                return out
+        if dictionary is None:
+            # Foreign (unindexed) streams: host anchor pre-scan feeds the
+            # same device anchor-walk kernel (SURVEY.md C17 — arbitrary
+            # zlib/gzip/raw input decodes chunk-parallel on device).
+            out = inflate_tpu.decompress_foreign(data, format=format)
+            if out is not None:
+                return out
     return inflate.decompress(data, format=format, dictionary=dictionary)
 
 

@@ -1143,3 +1143,309 @@ def _fetch_bytes(out_dev: jax.Array, total_out: int, base: int = 0) -> bytes:
         b = min(a + _FETCH_SLICE, total_out)
         parts.append(np.asarray(out_dev[base + a : base + b]).tobytes())
     return b"".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Foreign (unindexed) streams: host anchor pre-scan -> device anchor walk.
+#
+# The indexed path needs the encoder's 'ZZ' FEXTRA; arbitrary
+# zlib/gzip/raw streams carry no index, so the native C scanner
+# (native.scan_anchors) walks the bitstream once WITHOUT materializing
+# output and records exactly the lane set the anchor-walk kernel needs:
+# every block's first token plus every ANCHOR_TOKENS-th token's
+# (bit, out) position. The device then decodes all intervals in
+# parallel with the same compiled graphs the indexed path uses
+# (SURVEY.md C17: per-block parallel decode of arbitrary streams;
+# round-3 verdict item #5).
+# ---------------------------------------------------------------------------
+
+
+def decompress_foreign(
+    data: bytes,
+    format: str = "gzip",
+    verify: bool = True,
+    to_device: bool = False,
+):
+    """Device decode of a foreign (unindexed) zlib/gzip/raw stream.
+
+    Returns None when the stream is unsuitable (no native scanner, a
+    preset dictionary, nothing but stored blocks, or size caps) — the
+    caller falls back to the native C decoder. gzip CRC verifies on
+    device; zlib Adler-32 verifies on the host bytes (fetch path only).
+    """
+    from zzflate_tpu import native as _native
+
+    if _native.lib() is None:
+        return None
+    data = bytes(data)
+    tail = b""
+    crc_expect = isize = adler_expect = None
+    if format == "gzip":
+        header_len = containers.parse_gzip_header(data)
+        body = data[header_len:]
+    elif format == "zlib":
+        header_len, dictid = containers.parse_zlib_header(data)
+        if dictid is not None:
+            return None  # device path has no preset-dictionary lanes
+        body = data[header_len:-4]
+        (adler_expect,) = struct.unpack(">I", data[-4:])
+    elif format == "raw":
+        body = data
+    else:
+        raise ValueError(f"unknown format {format!r}")
+    if len(body) > (1 << 30):
+        return None
+
+    T = C.ANCHOR_TOKENS
+    try:
+        blocks, anchors, total_out, end_bit = _native.scan_anchors(body, T)
+    except ValueError:
+        return None  # corrupt per the scanner: let native raise precisely
+    if format == "gzip":
+        member_end = header_len + (end_bit + 7) // 8 + 8
+        if member_end > len(data):
+            raise ValueError("truncated gzip member")
+        (crc_expect, isize) = struct.unpack(
+            "<II", data[member_end - 8 : member_end]
+        )
+        tail = data[member_end:]
+        if isize != (total_out & 0xFFFFFFFF):
+            raise ValueError("isize mismatch (TPU inflate)")
+    if total_out > (1 << 30):
+        return None
+    nb = len(blocks)
+    if nb == 0 or not (blocks[:, 1] != 0).any():
+        return None  # all-stored stream: the native memcpy path wins
+
+    # Partition blocks into groups bounded like the indexed walk path.
+    out_cap = _WGROUP_OUT
+    body_cap = _WGROUP_BODY
+    out_ends = np.empty(nb, np.int64)
+    out_ends[:-1] = blocks[1:, 2]
+    out_ends[-1] = total_out
+    bit_ends = np.empty(nb, np.int64)
+    bit_ends[:-1] = blocks[1:, 0]
+    bit_ends[-1] = end_bit
+    if ((out_ends - blocks[:, 2]) > out_cap).any() or (
+        (bit_ends - blocks[:, 0]) // 8 > body_cap
+    ).any():
+        return None  # one block exceeds a device graph
+    groups: list[tuple[int, int]] = []  # [lo, hi) block ranges
+    lo = 0
+    for i in range(nb):
+        if i > lo and (
+            (bit_ends[i] // 8 - blocks[lo, 0] // 8) > body_cap
+            or (out_ends[i] - blocks[lo, 2]) > out_cap
+        ):
+            groups.append((lo, i))
+            lo = i
+    if lo < nb:
+        groups.append((lo, nb))
+
+    # Per-group staging: units from block headers, stored bytes, lanes.
+    import bisect
+
+    plans = []
+    max_units = 1
+    max_stored = 0
+    max_lanes = 1
+    max_body = 0
+    max_go = 1
+    abit = anchors[:, 0]
+    for glo, ghi in groups:
+        byte_lo = int(blocks[glo, 0] // 8)
+        byte_hi = int((bit_ends[ghi - 1] + 7) // 8)
+        out_lo = int(blocks[glo, 2])
+        go = int(out_ends[ghi - 1]) - out_lo
+        units = []
+        sidx: list[np.ndarray] = []
+        sval: list[np.ndarray] = []
+        ustarts: list[int] = []
+        for bi in range(glo, ghi):
+            bit0, btype, ostart, aux0, aux1 = (int(v) for v in blocks[bi])
+            if btype == 0:
+                raw = body[aux0 : aux0 + aux1]
+                sidx.append(
+                    np.arange(
+                        _W + ostart - out_lo,
+                        _W + ostart - out_lo + aux1,
+                        dtype=np.int64,
+                    )
+                )
+                sval.append(np.frombuffer(raw, np.uint8))
+                continue
+            # parse the header at the absolute bit, then rebase below
+            b = BitReader(body, bit0)
+            b.bits(1)
+            bt = b.bits(2)
+            if bt == 1:
+                lld, dd = _FixedDecs.get()
+            else:
+                lld, dd = _read_dynamic_tables(b)
+            units.append(
+                _Unit(
+                    b.bitpos - 8 * byte_lo,
+                    _W + ostart - out_lo,
+                    _canon_desc(lld, _MAX_LL),
+                    _canon_desc(dd, _MAX_D),
+                )
+            )
+            ustarts.append(bit0)
+        lanes = [
+            (u.bit, u.out_base, j) for j, u in enumerate(units)
+        ]
+        a_lo = np.searchsorted(abit, blocks[glo, 0], side="left")
+        a_hi = np.searchsorted(
+            abit, bit_ends[ghi - 1], side="left"
+        )
+        for ai in range(int(a_lo), int(a_hi)):
+            bit, aout = int(anchors[ai, 0]), int(anchors[ai, 1])
+            k = bisect.bisect_right(ustarts, bit) - 1
+            if k < 0:
+                continue
+            lanes.append(
+                (bit - 8 * byte_lo, _W + aout - out_lo, k)
+            )
+        si = (
+            np.concatenate(sidx).astype(np.int64)
+            if sidx
+            else np.zeros(0, np.int64)
+        )
+        sv = np.concatenate(sval) if sval else np.zeros(0, np.uint8)
+        plans.append((byte_lo, byte_hi, out_lo, go, units, si, sv, lanes))
+        max_units = max(max_units, len(units))
+        max_stored = max(max_stored, len(si))
+        max_lanes = max(max_lanes, len(lanes))
+        max_body = max(max_body, byte_hi - byte_lo)
+        max_go = max(max_go, go)
+
+    multi = len(plans) > 1
+    n_out_pad = _pow2(_W + max_go)
+    u_pad = _pow2(max_units)
+    n_stored = _pow2(max_stored) if max_stored else 0
+    nw = (body_cap if multi else _pow2(max(64, max_body))) // 4 + 2
+    l_pad = _pow2(max_lanes)
+    t_steps = T + 2
+
+    from zzflate_tpu.ops import checksums as cs
+
+    prefix = jnp.zeros((_W,), jnp.uint8)
+    group_out: list[tuple[jax.Array, int]] = []
+    group_crc: list[jax.Array] = []
+    grouped = _WALK_VMAP and multi
+    staged: list[tuple] = []
+    for byte_lo, byte_hi, out_lo, go, units, si0, sv0, lanes in plans:
+        gbody = body[byte_lo:byte_hi]
+        wbytes = gbody + b"\x00" * (nw * 4 - len(gbody))
+        words = np.frombuffer(wbytes[: nw * 4], "<u4")
+        ll_first = np.zeros((u_pad, 16), np.int32)
+        ll_cnt = np.zeros((u_pad, 16), np.int32)
+        ll_offs = np.zeros((u_pad, 16), np.int32)
+        ll_sym = np.zeros((u_pad, _MAX_LL), np.int32)
+        d_first = np.zeros((u_pad, 16), np.int32)
+        d_cnt = np.zeros((u_pad, 16), np.int32)
+        d_offs = np.zeros((u_pad, 16), np.int32)
+        d_sym = np.zeros((u_pad, _MAX_D), np.int32)
+        for j, un in enumerate(units):
+            ll_first[j], ll_cnt[j], ll_offs[j], ll_sym[j] = un.ll
+            d_first[j], d_cnt[j], d_offs[j], d_sym[j] = un.d
+        if n_stored:
+            si = np.full(n_stored, n_out_pad, np.int64)
+            si[: len(si0)] = si0
+            sv = np.zeros(n_stored, np.uint8)
+            sv[: len(sv0)] = sv0
+        else:
+            si = np.zeros(1, np.int64)
+            sv = np.zeros(1, np.uint8)
+        lane_bit = np.zeros(l_pad, np.int32)
+        lane_out = np.zeros(l_pad, np.int32)
+        lane_uid = np.zeros(l_pad, np.int32)
+        lane_valid = np.zeros(l_pad, bool)
+        for j, (lb, lo_, lu) in enumerate(lanes):
+            lane_bit[j] = lb
+            lane_out[j] = lo_
+            lane_uid[j] = lu
+            lane_valid[j] = True
+        if grouped:
+            staged.append((
+                words, ll_first, ll_cnt, ll_offs, ll_sym,
+                d_first, d_cnt, d_offs, d_sym,
+                lane_bit, lane_out, lane_uid, lane_valid,
+                si.astype(np.int32), sv, go,
+            ))
+            continue
+        out_dev, crc_dev = _walk_all(
+            jnp.asarray(words),
+            jnp.asarray(ll_first), jnp.asarray(ll_cnt),
+            jnp.asarray(ll_offs), jnp.asarray(ll_sym),
+            jnp.asarray(d_first), jnp.asarray(d_cnt),
+            jnp.asarray(d_offs), jnp.asarray(d_sym),
+            jnp.asarray(lane_bit), jnp.asarray(lane_out),
+            jnp.asarray(lane_uid), jnp.asarray(lane_valid), prefix,
+            jnp.asarray(si.astype(np.int32)), jnp.asarray(sv),
+            jnp.asarray(_W + go, jnp.int32),
+            n_out_pad=n_out_pad, n_stored=n_stored, t_steps=t_steps,
+            with_crc=verify and format == "gzip", defer=_WALK_DEFER,
+        )
+        if verify and format == "gzip":
+            group_crc.append(crc_dev)
+        group_out.append((out_dev, go))
+        prefix = jax.lax.dynamic_slice(
+            out_dev, (jnp.asarray(go, jnp.int32),), (_W,)
+        )
+
+    if grouped:
+        gos = np.array([s[15] for s in staged], np.int32)
+        ngroups = len(staged)
+        gp = _pow2(ngroups)
+        padded = staged + [
+            tuple(np.zeros_like(a) for a in staged[0][:15]) + (0,)
+        ] * (gp - ngroups)
+        gpos = np.concatenate([gos, np.zeros(gp - ngroups, np.int32)])
+        outs, crcs = _walk_all_grouped(
+            *(
+                jnp.asarray(np.stack([s[i] for s in padded]))
+                for i in range(13)
+            ),
+            prefix,
+            jnp.asarray(np.stack([s[13] for s in padded])),
+            jnp.asarray(np.stack([s[14] for s in padded])),
+            jnp.asarray(_W + gpos), jnp.asarray(gpos),
+            n_out_pad=n_out_pad, n_stored=n_stored, t_steps=t_steps,
+            with_crc=verify and format == "gzip", defer=_WALK_DEFER,
+        )
+        for gi in range(ngroups):
+            group_out.append((outs[gi], int(gos[gi])))
+            if verify and format == "gzip":
+                group_crc.append(crcs[gi])
+
+    if verify and format == "gzip":
+        crc = 0
+        vals = np.asarray(jnp.stack(group_crc)) if group_crc else []
+        for v, (_buf, go) in zip(vals, group_out):
+            crc = cs.crc32_combine(crc, int(v), go)
+        if crc != crc_expect:
+            raise ValueError("crc32 mismatch (TPU inflate)")
+
+    if to_device:
+        if tail:
+            raise ValueError("to_device unsupported for multi-member gzip")
+        if len(group_out) == 1:
+            buf, go = group_out[0]
+            return buf[_W : _W + total_out], total_out
+        return (
+            jnp.concatenate([buf[_W : _W + go] for buf, go in group_out]),
+            total_out,
+        )
+
+    out = b"".join(
+        _fetch_bytes(buf, go, base=_W) for buf, go in group_out
+    )
+    if verify and format == "zlib":
+        if _native.adler32(out) != adler_expect:
+            raise ValueError("adler32 mismatch (TPU inflate)")
+    if tail:
+        from zzflate_tpu.models import inflate
+
+        out += inflate.decompress(tail, format="gzip")
+    return out

@@ -94,6 +94,22 @@ def lib() -> ctypes.CDLL | None:
             ctypes.c_size_t,          # stop_bytes
             ctypes.POINTER(ctypes.c_uint32),  # bfinal_out
         ]
+        L.zzt_scan_anchors.restype = ctypes.c_int
+        L.zzt_scan_anchors.argtypes = [
+            ctypes.c_char_p,          # in
+            ctypes.c_size_t,          # in_len
+            ctypes.c_size_t,          # start_bit
+            ctypes.c_uint32,          # T (anchor spacing in tokens)
+            ctypes.c_size_t,          # dict_len
+            ctypes.c_void_p,          # blocks (int64 * 5*blocks_cap)
+            ctypes.c_size_t,          # blocks_cap
+            ctypes.c_void_p,          # anchors (int64 * 2*anchors_cap)
+            ctypes.c_size_t,          # anchors_cap
+            ctypes.POINTER(ctypes.c_size_t),  # nblocks
+            ctypes.POINTER(ctypes.c_size_t),  # nanchors
+            ctypes.POINTER(ctypes.c_size_t),  # total_out
+            ctypes.POINTER(ctypes.c_size_t),  # end_bit
+        ]
         L.zzt_adler32.restype = ctypes.c_uint32
         L.zzt_adler32.argtypes = [
             ctypes.c_uint32, ctypes.c_char_p, ctypes.c_size_t
@@ -223,6 +239,61 @@ def inflate_stream(
                 ctypes.addressof(buf) + dlen, out_len.value
             )
             return out, end_bit.value, bool(bfinal.value), rc == E_AGAIN
+        raise ValueError(ERRORS.get(rc, f"inflate error {rc}"))
+
+
+def scan_anchors(
+    data: bytes,
+    anchor_tokens: int,
+    bitpos: int = 0,
+    dict_len: int = 0,
+):
+    """Anchor pre-scan of a raw deflate stream (no output materialized).
+
+    Returns (blocks, anchors, total_out, end_bit):
+      blocks  — int64 (nb, 5): [start_bit, btype, out_start,
+                stored_payload_byte_off, stored_len]
+      anchors — int64 (na, 2): [bit, out] of every anchor_tokens-th
+                token within its block (bit BEFORE the token's code)
+    These are exactly the lane records the TPU anchor-walk decoder
+    consumes, so foreign (unindexed) zlib/gzip streams can decode on
+    device after this host scan. Raises ValueError on corruption.
+    """
+    import numpy as _np
+
+    L = lib()
+    if L is None:
+        raise RuntimeError("native library unavailable")
+    n = len(data)
+    # Generous first guesses; the scan reports required counts on
+    # overflow, so at most one retry.
+    bcap = max(64, n // 8192)
+    acap = max(64, (8 * n) // max(1, anchor_tokens))
+    while True:
+        blocks = _np.zeros((bcap, 5), _np.int64)
+        anchors = _np.zeros((acap, 2), _np.int64)
+        nb = ctypes.c_size_t(0)
+        na = ctypes.c_size_t(0)
+        total_out = ctypes.c_size_t(0)
+        end_bit = ctypes.c_size_t(0)
+        rc = L.zzt_scan_anchors(
+            data, n, bitpos, anchor_tokens, dict_len,
+            blocks.ctypes.data_as(ctypes.c_void_p), bcap,
+            anchors.ctypes.data_as(ctypes.c_void_p), acap,
+            ctypes.byref(nb), ctypes.byref(na),
+            ctypes.byref(total_out), ctypes.byref(end_bit),
+        )
+        if rc == -6:  # a cap was too small; counts hold required sizes
+            bcap = max(bcap, nb.value + 1)
+            acap = max(acap, na.value + 1)
+            continue
+        if rc == OK:
+            return (
+                blocks[: nb.value],
+                anchors[: na.value],
+                total_out.value,
+                end_bit.value,
+            )
         raise ValueError(ERRORS.get(rc, f"inflate error {rc}"))
 
 

@@ -472,6 +472,199 @@ int zzt_inflate_stream(const uint8_t *in, size_t in_len, size_t start_bit,
                       end_bit, stop_bytes, 1, bfinal_out);
 }
 
+/* ---------------- anchor pre-scan (device decode of foreign streams) ----
+ *
+ * Walk a raw deflate stream WITHOUT materializing output: record each
+ * block's (start_bit, btype, out_start [, stored byte offset/len]) and
+ * the (bit, out) position of every T-th token within each non-stored
+ * block. The records are exactly what the TPU anchor-walk decoder needs
+ * as lanes (models/inflate_tpu.py), so any zlib/gzip stream — not just
+ * our own indexed output — can decode chunk-parallel on device after
+ * this host scan (SURVEY.md C17: "per-block parallel decode" of
+ * arbitrary streams). The scan is the token walk only: no LZ copies, no
+ * byte writes — it needs only bit positions and output OFFSETS, so it
+ * runs well above the full inflate's throughput and never allocates.
+ *
+ * blocks: 5 int64 per block  [start_bit, btype, out_start, aux0, aux1]
+ *         (stored blocks: aux0 = payload byte offset in `in`, aux1 = len)
+ * anchors: 2 int64 per anchor [bit, out]  (bit BEFORE the token's code)
+ * Returns ZZT_OK, or ZZT_E_OUTFULL if a cap was too small (counts then
+ * hold the required sizes; re-call with bigger buffers). */
+int zzt_scan_anchors(const uint8_t *in, size_t in_len, size_t start_bit,
+                     uint32_t T, size_t dict_len,
+                     int64_t *blocks, size_t blocks_cap,
+                     int64_t *anchors, size_t anchors_cap,
+                     size_t *nblocks, size_t *nanchors,
+                     size_t *total_out, size_t *end_bit) {
+  bits_t b;
+  size_t w = dict_len;
+  size_t nb = 0, na = 0;
+  int overflow = 0;
+  int rc;
+  static __thread htab_t dyn_ll, dyn_d;
+
+  if (!g_fixed_ready) init_fixed();
+  br_init(&b, in, in_len, start_bit);
+
+  for (;;) {
+    uint32_t bfinal, btype;
+    size_t blk_bit = br_pos(&b);
+    const htab_t *ll, *dd;
+    bfinal = br_get(&b, 1);
+    btype = br_get(&b, 2);
+    if (btype == 0) {
+      size_t pos;
+      uint32_t len, nlen;
+      br_align(&b);
+      pos = br_pos(&b) >> 3;
+      if (pos + 4 > in_len) ZFAIL(ZZT_E_INPUT);
+      len = in[pos] | ((uint32_t)in[pos + 1] << 8);
+      nlen = in[pos + 2] | ((uint32_t)in[pos + 3] << 8);
+      if ((len ^ nlen) != 0xFFFF) ZFAIL(ZZT_E_STORED);
+      if (pos + 4 + len > in_len) ZFAIL(ZZT_E_INPUT);
+      if (nb + 1 <= blocks_cap) {
+        blocks[5 * nb] = (int64_t)blk_bit;
+        blocks[5 * nb + 1] = 0;
+        blocks[5 * nb + 2] = (int64_t)(w - dict_len);
+        blocks[5 * nb + 3] = (int64_t)(pos + 4);
+        blocks[5 * nb + 4] = (int64_t)len;
+      } else {
+        overflow = 1;
+      }
+      nb++;
+      w += len;
+      br_init(&b, in, in_len, (pos + 4 + len) * 8);
+      goto scan_block_done;
+    } else if (btype == 1) {
+      ll = &g_fixed_ll;
+      dd = &g_fixed_d;
+    } else if (btype == 2) {
+      uint32_t hlit = br_get(&b, 5) + 257;
+      uint32_t hdist = br_get(&b, 5) + 1;
+      uint32_t hclen = br_get(&b, 4) + 4;
+      uint8_t cl_lens[19] = {0};
+      uint8_t lens[288 + 32];
+      uint32_t i;
+      htab_t cl_tab;
+      if (hlit > 286 || hdist > 30) ZFAIL(ZZT_E_TABLE);
+      for (i = 0; i < hclen; i++) cl_lens[CLORD[i]] = (uint8_t)br_get(&b, 3);
+      if (build_table(cl_lens, 19, &cl_tab) != ZZT_OK) ZFAIL(ZZT_E_TABLE);
+      for (i = 0; i < hlit + hdist;) {
+        int s = decode_sym(&b, &cl_tab);
+        if (s < 0) ZFAIL(ZZT_E_SYMBOL);
+        if (s < 16) {
+          lens[i++] = (uint8_t)s;
+        } else if (s == 16) {
+          uint32_t r;
+          uint8_t prev;
+          if (i == 0) ZFAIL(ZZT_E_TABLE);
+          r = 3 + br_get(&b, 2);
+          prev = lens[i - 1];
+          if (i + r > hlit + hdist) ZFAIL(ZZT_E_TABLE);
+          while (r--) lens[i++] = prev;
+        } else {
+          uint32_t r = (s == 17) ? 3 + br_get(&b, 3) : 11 + br_get(&b, 7);
+          if (i + r > hlit + hdist) ZFAIL(ZZT_E_TABLE);
+          while (r--) lens[i++] = 0;
+        }
+      }
+      if (build_table(lens, (int)hlit, &dyn_ll) != ZZT_OK) ZFAIL(ZZT_E_TABLE);
+      if (build_table(lens + hlit, (int)hdist, &dyn_d) != ZZT_OK)
+        ZFAIL(ZZT_E_TABLE);
+      ll = &dyn_ll;
+      dd = &dyn_d;
+    } else {
+      ZFAIL(ZZT_E_BTYPE);
+    }
+
+    if (nb + 1 <= blocks_cap) {
+      blocks[5 * nb] = (int64_t)blk_bit;
+      blocks[5 * nb + 1] = (int64_t)btype;
+      blocks[5 * nb + 2] = (int64_t)(w - dict_len);
+      blocks[5 * nb + 3] = 0;
+      blocks[5 * nb + 4] = 0;
+    } else {
+      overflow = 1;
+    }
+    nb++;
+
+    {
+      size_t tok = 0;
+      for (;;) {
+        uint32_t e, s, len, dist;
+        br_refill(&b);
+        if (b.n < 48 && (size_t)(b.end - b.p) < 8 && br_pos(&b) > in_len * 8)
+          ZFAIL(ZZT_E_INPUT);
+        if (T && tok && tok % T == 0) {
+          if (na + 1 <= anchors_cap) {
+            anchors[2 * na] = (int64_t)br_pos(&b);
+            anchors[2 * na + 1] = (int64_t)(w - dict_len);
+          } else {
+            overflow = 1;
+          }
+          na++;
+        }
+        e = ll->root[(uint32_t)b.acc & ((1u << ROOT_BITS) - 1)];
+        if (e & 0x80000000u) {
+          uint32_t sb = (e >> 16) & 0x7FFF;
+          e = ll->pool[(e & 0xFFFF) +
+                       (((uint32_t)b.acc >> ROOT_BITS) & ((1u << sb) - 1))];
+        }
+        if (!e) ZFAIL(ZZT_E_SYMBOL);
+        b.acc >>= (e >> 16);
+        b.n -= (int)(e >> 16);
+        s = e & 0xFFFF;
+        if (s < 256) {
+          w++;
+          tok++;
+          continue;
+        }
+        if (s == 256) break;
+        s -= 257;
+        if (s >= 29) ZFAIL(ZZT_E_SYMBOL);
+        len = LBASE[s] + ((uint32_t)b.acc & ((1u << LEXT[s]) - 1));
+        b.acc >>= LEXT[s];
+        b.n -= LEXT[s];
+        {
+          int ds;
+          e = dd->root[(uint32_t)b.acc & ((1u << ROOT_BITS) - 1)];
+          if (e & 0x80000000u) {
+            uint32_t sb = (e >> 16) & 0x7FFF;
+            e = dd->pool[(e & 0xFFFF) +
+                         (((uint32_t)b.acc >> ROOT_BITS) & ((1u << sb) - 1))];
+          }
+          if (!e) ZFAIL(ZZT_E_SYMBOL);
+          b.acc >>= (e >> 16);
+          b.n -= (int)(e >> 16);
+          ds = (int)(e & 0xFFFF);
+          if (ds >= 30) ZFAIL(ZZT_E_SYMBOL);
+          dist = DBASE[ds] + ((uint32_t)b.acc & ((1u << DEXT[ds]) - 1));
+          b.acc >>= DEXT[ds];
+          b.n -= DEXT[ds];
+        }
+        if (dist > w) ZFAIL(ZZT_E_DIST);
+        w += len;
+        tok++;
+      }
+    }
+  scan_block_done:
+    if (br_pos(&b) > in_len * 8) ZFAIL(ZZT_E_INPUT);
+    if (bfinal) break;
+  }
+  *nblocks = nb;
+  *nanchors = na;
+  *total_out = w - dict_len;
+  *end_bit = br_pos(&b);
+  return overflow ? ZZT_E_OUTFULL : ZZT_OK;
+
+zz_fail:
+  *nblocks = nb;
+  *nanchors = na;
+  *total_out = w - dict_len;
+  *end_bit = br_pos(&b);
+  return rc;
+}
+
 /* ---------------- checksums ---------------- */
 
 uint32_t zzt_adler32(uint32_t adler, const uint8_t *buf, size_t len) {
