@@ -80,7 +80,7 @@ def sort_cell(name, b, n, nops, reps=3):
 # on-chip: sortB(16,294912,k16)=101ms, (64,294912)=317ms (17.6/MiB),
 # (16,524288)=145ms (18.1/MiB), k8=58.6ms. Sorts are ~30% of analyze;
 # the default now runs the phase-2 cells that locate the other ~600ms.
-_DEFAULT = ("full", "full8", "parse", "hist", "prop")
+_DEFAULT = ("full", "parse", "hist", "prop", "fetch", "emit")
 
 
 def main():
@@ -190,6 +190,81 @@ def main():
             emit("histogram_ll 16x294912x4sb", ms, B * N / (1 << 20))
         except Exception as e:  # noqa: BLE001
             print(json.dumps({"cell": "hist", "error": repr(e)[:200]}),
+                  flush=True)
+
+    if want("fetch"):
+        # Device->host transfer rate of a jit-output buffer (the emit
+        # fetch path). Round-1 measured ~7 MB/s through the tunnel; if
+        # this moved, the emit_fetch budget math changes.
+        big = jax.jit(lambda x: x * 2)(jnp.ones((1 << 19,), jnp.uint32))
+        _ = np.asarray(big[:8])
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _ = np.asarray(big)
+            best = min(best, time.perf_counter() - t0)
+        mb = big.size * 4 / 1e6
+        print(json.dumps({
+            "cell": "fetch 2MB jit-output",
+            "ms": round(best * 1000, 1),
+            "MBps": round(mb / best, 2),
+        }), flush=True)
+
+    if want("emit"):
+        # The emit phase alone at production shapes (device compute
+        # without the fetch): committed/token arrays + host tables in,
+        # packed words out; forces only a tiny slice back.
+        from zzflate_tpu.models import deflate_encoder as DE
+        from zzflate_tpu.ops import huffman_host as HH
+
+        rng2 = np.random.default_rng(1)
+        mlen2 = rng2.integers(3, 259, size=(B, N)).astype(np.int32)
+        take2 = rng2.random((B, N)) < 0.25
+        mlen2 = np.where(take2, mlen2, 0)
+        mdist2 = np.where(
+            take2, rng2.integers(1, 32769, size=(B, N)), 0
+        ).astype(np.int32)
+        com2 = take2 | (rng2.random((B, N)) < 0.5)
+        sym2 = np.where(
+            take2, 257 + rng2.integers(0, 29, size=(B, N)),
+            rng2.integers(0, 256, size=(B, N)),
+        ).astype(np.int32)
+        lcode2 = np.maximum(sym2 - 257, 0)
+        dcode2 = rng2.integers(0, 30, size=(B, N)).astype(np.int32)
+        sb = DE.sub_block_count(N - 32768)
+        ana = {
+            "committed": jnp.asarray(com2),
+            "is_match": jnp.asarray(take2),
+            "litlen_sym": jnp.asarray(sym2),
+            "lcode": jnp.asarray(lcode2),
+            "dcode": jnp.asarray(dcode2),
+            "mlen": jnp.asarray(mlen2),
+            "mdist": jnp.asarray(mdist2),
+        }
+        ow = DE.output_words_bound(N - 32768)
+        ll_len = jnp.asarray(
+            np.full((B, sb, 288), 9, np.int32)
+        )
+        ll_code = jnp.asarray(np.zeros((B, sb, 288), np.uint32))
+        d_len = jnp.asarray(np.full((B, sb, 30), 5, np.int32))
+        d_code = jnp.asarray(np.zeros((B, sb, 30), np.uint32))
+        hv = jnp.asarray(np.zeros((B, sb, DE.HDR_SLOTS), np.uint32))
+        hn = jnp.asarray(np.zeros((B, sb, DE.HDR_SLOTS), np.int32))
+        ev = jnp.asarray(np.zeros((B, sb), np.uint32))
+        en = jnp.asarray(np.full((B, sb), 7, np.int32))
+
+        def femit():
+            res = DE.emit_chunks_batch(
+                ana, ow, ll_len, ll_code, d_len, d_code, hv, hn, ev, en,
+                compact=True,
+            )
+            return res["meta"][:, 0]
+
+        try:
+            ms = timeit(lambda: femit())
+            emit("emit_batch 16x294912 compact", ms, B * N / (1 << 20))
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"cell": "emit", "error": repr(e)[:200]}),
                   flush=True)
 
     if want("prop"):
