@@ -2,8 +2,9 @@
 
 BASELINE.md gate: output <= zlib at the same level + <= 0.5 % chunking
 overhead (BASELINE.json:5 "size <= reference at same level"). Gated on a
-4 MiB slice of the deterministic fixture so the test stays CI-sized;
-`python bench.py --full` runs the full ~100 MiB table.
+16 MiB slice of the deterministic fixture (round-3 verdict item #6:
+CI-slice >= 16 MiB, budgets tightened to measured + margin — the
+100 MiB table lives in BASELINE.md via `python bench.py --full`).
 """
 import zlib
 
@@ -12,7 +13,7 @@ import pytest
 import zzflate_tpu as zf
 from zzflate_tpu.utils import fixtures
 
-_SLICE = 4 << 20
+_SLICE = 16 << 20
 
 
 @pytest.fixture(scope="module")
@@ -23,11 +24,12 @@ def corpus():
 @pytest.mark.parametrize(
     "level,rel_budget",
     [
-        (1, 1.000),   # suffix-sort candidates beat zlib's 4-entry chains
-        (6, 1.005),
-        (7, 1.000),   # cost-aware optimal parse beats zlib-7 outright
-        (8, 1.000),   # cost-aware optimal parse beats zlib-8 outright
-        (9, 1.005),
+        # Budgets = measured (100 MiB table, BASELINE.md round 4) + margin.
+        (1, 0.97),    # measured 0.9515: suffix-sort candidates beat chains
+        (6, 1.002),   # measured 0.9987
+        (7, 0.995),   # measured 0.9840 (also beats libdeflate-7)
+        (8, 0.995),   # measured 0.9859
+        (9, 0.99),    # measured 0.985x (optimal parse)
     ],
 )
 def test_ratio_gate(corpus, level, rel_budget):
@@ -41,8 +43,9 @@ def test_ratio_gate(corpus, level, rel_budget):
 def test_homogeneous_text_gate():
     """The round-1 failure mode: homogeneous text at L6/L9 (VERDICT #3)."""
     data = open("/usr/include/zlib.h", "rb").read() * 6
-    for level in (6, 9):
+    budgets = {6: 1.002, 9: 0.99}  # measured 1.0004 / 0.971 (BASELINE.md)
+    for level, budget in budgets.items():
         ours = zf.compress(data, level=level, format="zlib")
         assert zlib.decompress(ours) == data
         rel = len(ours) / len(zlib.compress(data, level))
-        assert rel <= 1.005, f"L{level}: rel {rel:.4f}"
+        assert rel <= budget, f"L{level}: rel {rel:.4f} > {budget}"
