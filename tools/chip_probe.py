@@ -13,6 +13,7 @@ Run under `timeout`; cells are ordered most-decisive-first.
 """
 from __future__ import annotations
 
+import functools
 import json
 import os
 import sys
@@ -80,7 +81,11 @@ def sort_cell(name, b, n, nops, reps=3):
 # on-chip: sortB(16,294912,k16)=101ms, (64,294912)=317ms (17.6/MiB),
 # (16,524288)=145ms (18.1/MiB), k8=58.6ms. Sorts are ~30% of analyze;
 # the default now runs the phase-2 cells that locate the other ~600ms.
-_DEFAULT = ("full", "parse", "hist", "prop", "fetch", "emit")
+_DEFAULT = (
+    "full", "parse", "hist", "fetch",
+    "walk1026x4096", "walk258x16384", "walk258x4096", "walk1026x4096d0",
+    "resolve", "emit", "prop",
+)
 
 
 def main():
@@ -265,6 +270,105 @@ def main():
             emit("emit_batch 16x294912 compact", ms, B * N / (1 << 20))
         except Exception as e:  # noqa: BLE001
             print(json.dumps({"cell": "emit", "error": repr(e)[:200]}),
+                  flush=True)
+
+    # ---- decode walk scaling law (round-4): the anchor-walk fori_loop is
+    # the chip decode cost (dec_tpu_dev 4.78 MB/s default; stacked vmap
+    # variants REGRESS: 2.09 at anchor=1024, 1.12 at anchor=256). These
+    # run the REAL _walk_core at synthetic shapes to find how per-step
+    # cost scales with (t_steps, lanes, defer) — the decisive datum for
+    # the decode redesign. Garbage bits deactivate lanes early but the
+    # loop's op mix and trip count are identical (masked work).
+    def walk_cell(name, t_steps, lanes, defer):
+        from zzflate_tpu.models import inflate_tpu as IT
+
+        rngw = np.random.default_rng(2)
+        n_out_pad = 1 << 22
+        nw = (4 << 20) // 4 + 2
+        words = jnp.asarray(
+            rngw.integers(0, 1 << 32, nw, dtype=np.uint32)
+        )
+        u_pad = 64
+        z16 = np.zeros((u_pad, 16), np.int32)
+        cnt = np.zeros((u_pad, 16), np.int32)
+        cnt[:, 8] = 255  # plausible canonical shape
+        ll_sym = np.zeros((u_pad, IT._MAX_LL), np.int32)
+        d_sym = np.zeros((u_pad, IT._MAX_D), np.int32)
+        lane_bit = jnp.asarray(
+            rngw.integers(0, nw * 16, lanes, dtype=np.int32)
+        )
+        lane_out = jnp.asarray(
+            rngw.integers(0, n_out_pad // 2, lanes, dtype=np.int32)
+        )
+        lane_uid = jnp.zeros((lanes,), jnp.int32)
+        lane_valid = jnp.ones((lanes,), bool)
+        prefix = jnp.zeros((IT._W,), jnp.uint8)
+        si = jnp.zeros((1,), jnp.int32)
+        sv = jnp.zeros((1,), jnp.uint8)
+
+        wc = jax.jit(
+            functools.partial(
+                IT._walk_core, n_out_pad=n_out_pad, n_stored=0,
+                t_steps=t_steps, defer=defer,
+            ),
+            static_argnames=(),
+        )
+
+        def f():
+            lv, sm, da = wc(
+                words, jnp.asarray(z16), jnp.asarray(cnt),
+                jnp.asarray(z16), jnp.asarray(ll_sym),
+                jnp.asarray(z16), jnp.asarray(cnt), jnp.asarray(z16),
+                jnp.asarray(d_sym), lane_bit, lane_out, lane_uid,
+                lane_valid, prefix, si, sv,
+            )
+            return lv[::4096]
+
+        try:
+            ms = timeit(lambda: f())
+            print(json.dumps({
+                "cell": name, "ms": round(ms, 1),
+                "us_per_step": round(ms * 1000 / t_steps, 1),
+            }), flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"cell": name, "error": repr(e)[:200]}),
+                  flush=True)
+
+    if want("walk1026x4096"):
+        walk_cell("walk t=1026 lanes=4096 defer", 1026, 4096, True)
+    if want("walk258x16384"):
+        walk_cell("walk t=258 lanes=16384 defer", 258, 16384, True)
+    if want("walk258x4096"):
+        walk_cell("walk t=258 lanes=4096 defer", 258, 4096, True)
+    if want("walk1026x4096d0"):
+        walk_cell("walk t=1026 lanes=4096 nodefer", 1026, 4096, False)
+
+    if want("resolve"):
+        from zzflate_tpu.models import inflate_tpu as IT
+
+        rngr = np.random.default_rng(5)
+        n_out_pad = 1 << 22
+        litval0 = jnp.asarray(
+            rngr.integers(0, 256, n_out_pad, dtype=np.int32)
+        )
+        sm0 = jnp.asarray(np.arange(n_out_pad, dtype=np.int32))
+        da0 = jnp.asarray(
+            np.where(rngr.random(n_out_pad) < 0.1,
+                     rngr.integers(1, 32768, n_out_pad), 0
+                     ).astype(np.int32)
+        )
+
+        @jax.jit
+        def fres(lv, sm, da):
+            return IT._resolve_lz(lv, sm, da, 1 << 22)[::4096]
+
+        try:
+            ms = timeit(fres, litval0, sm0, da0)
+            print(json.dumps({
+                "cell": "resolve_lz n=4M", "ms": round(ms, 1),
+            }), flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"cell": "resolve", "error": repr(e)[:200]}),
                   flush=True)
 
     if want("prop"):
