@@ -60,12 +60,19 @@ def pack_fields(
     # val >> (32 - b) is UB at b=0; two-step shift keeps it defined.
     hi = (values >> (jnp.uint32(31) - bit_idx)) >> jnp.uint32(1)
 
-    present = nbits > 0
-    wi_lo = jnp.where(present, word_idx, out_words)
-    wi_hi = jnp.where(present & (hi != 0), word_idx + 1, out_words)
+    # Offsets are monotone, so word_idx is sorted — keep the scatter
+    # indices sorted (absent fields contribute zeros at their in-order
+    # word rather than a sortedness-breaking sentinel) and tell XLA:
+    # sorted scatter-adds lower to a much cheaper form on TPU than the
+    # general atomic path (values are pre-masked, so absent fields and
+    # empty high words add 0 — add == or on disjoint bit ranges).
     words = jnp.zeros((out_words,), jnp.uint32)
-    words = words.at[wi_lo].add(lo, mode="drop")
-    words = words.at[wi_hi].add(hi, mode="drop")
+    words = words.at[word_idx].add(
+        lo, mode="drop", indices_are_sorted=True
+    )
+    words = words.at[word_idx + 1].add(
+        hi, mode="drop", indices_are_sorted=True
+    )
     if report is not None:
         return words, total_bits, report
     return words, total_bits
@@ -86,11 +93,15 @@ def scatter_fields(words, offsets, values, nbits, out_words: int):
     bit_idx = (offsets & 31).astype(jnp.uint32)
     lo = values << bit_idx
     hi = (values >> (jnp.uint32(31) - bit_idx)) >> jnp.uint32(1)
-    present = nbits > 0
-    wi_lo = jnp.where(present, word_idx, out_words)
-    wi_hi = jnp.where(present & (hi != 0), word_idx + 1, out_words)
-    words = words.at[wi_lo].add(lo, mode="drop")
-    return words.at[wi_hi].add(hi, mode="drop")
+    # Caller-supplied offsets here are monotone too (field streams and
+    # header layouts are emitted in order); sorted scatter-adds of
+    # pre-masked values (absent -> 0) skip the general scatter path.
+    words = words.at[word_idx].add(
+        lo, mode="drop", indices_are_sorted=True
+    )
+    return words.at[word_idx + 1].add(
+        hi, mode="drop", indices_are_sorted=True
+    )
 
 
 def scatter_field48(words, offsets, lo, hi, nbits, out_words: int):
@@ -110,13 +121,19 @@ def scatter_field48(words, offsets, lo, hi, nbits, out_words: int):
     # x >> (32 - b) is UB at b=0; the two-step shift keeps it defined.
     w1 = ((lo >> (jnp.uint32(31) - b)) >> jnp.uint32(1)) | (hi << b)
     w2 = (hi >> (jnp.uint32(31) - b)) >> jnp.uint32(1)
-    present = nbits > 0
-    i0 = jnp.where(present, word_idx, out_words)
-    i1 = jnp.where(present & (w1 != 0), word_idx + 1, out_words)
-    i2 = jnp.where(present & (w2 != 0), word_idx + 2, out_words)
-    words = words.at[i0].add(w0, mode="drop")
-    words = words.at[i1].add(w1, mode="drop")
-    return words.at[i2].add(w2, mode="drop")
+    # Token bit offsets are monotone: scatter all three word lanes with
+    # sorted indices (absent fields are pre-masked to zero values, so
+    # they add 0 at their in-order slot instead of branching to a
+    # sortedness-breaking drop sentinel).
+    words = words.at[word_idx].add(
+        w0, mode="drop", indices_are_sorted=True
+    )
+    words = words.at[word_idx + 1].add(
+        w1, mode="drop", indices_are_sorted=True
+    )
+    return words.at[word_idx + 2].add(
+        w2, mode="drop", indices_are_sorted=True
+    )
 
 
 def words_to_bytes(words, total_bits: int) -> bytes:

@@ -109,7 +109,11 @@ def _merge(best_pack, s_len, s_dist, spos, n):
         (s_len << 15) | (jnp.int32(WINDOW_SIZE) - s_dist),
         0,
     )
-    p = jnp.zeros((n,), jnp.int32).at[spos].set(pack)
+    # spos is a permutation of positions: every index is distinct, and
+    # XLA lowers unique-index scatters substantially cheaper on TPU.
+    p = jnp.zeros((n,), jnp.int32).at[spos].set(
+        pack, unique_indices=True
+    )
     return jnp.maximum(best_pack, p)
 
 
@@ -284,7 +288,10 @@ def find_matches(
     def rank_of(width):
         change = (adjB < width).astype(jnp.int32)
         rs = jnp.cumsum(change)
-        return jnp.zeros((n,), jnp.int32).at[sposB].set(rs)
+        # sposB is a permutation: unique-index scatter (cheaper lowering).
+        return jnp.zeros((n,), jnp.int32).at[sposB].set(
+            rs, unique_indices=True
+        )
 
     rank_levels = []
     width = 16
@@ -544,19 +551,28 @@ def parse_commit_batch(
     pos0 = entries.reshape(-1)
     row_end = (jnp.clip(pos0, 0, nflat - 1) // _ROW + 1) * _ROW
     row_end = jnp.where(pos0 < nflat, row_end, 0)
+    # Per-lane sink slots: within a step every live lane walks a distinct
+    # row, and exited lanes each park on their OWN sink slot — the
+    # scatter indices are therefore truly unique, which lets XLA skip the
+    # general conflict-handling scatter path (measured as the parse's
+    # dominant per-step cost on the chip).
+    lane_sink = nflat + jnp.arange(pos0.shape[0], dtype=jnp.int32)
 
     def p3(t, state):
         mark, pos = state
-        mark = mark.at[jnp.clip(pos, 0, nflat)].max(
-            jnp.where(pos < nflat, 1, 0).astype(jnp.int8), mode="drop"
+        live = pos < nflat
+        idx = jnp.where(live, jnp.clip(pos, 0, nflat - 1), lane_sink)
+        mark = mark.at[idx].max(
+            live.astype(jnp.int8), unique_indices=True
         )
         s = stepf[jnp.clip(pos, 0, nflat - 1)]
         nxt = pos + s
-        pos = jnp.where((pos < nflat) & (nxt < row_end), nxt, sink)
+        pos = jnp.where(live & (nxt < row_end), nxt, sink)
         return mark, pos
 
     mark, _ = jax.lax.fori_loop(
-        0, _ROW, p3, (jnp.zeros((nflat + 1,), jnp.int8), pos0)
+        0, _ROW, p3,
+        (jnp.zeros((nflat + pos0.shape[0],), jnp.int8), pos0),
     )
 
     committed = mark[:nflat].reshape(bch, npad)[:, :n] == 1
