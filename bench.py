@@ -206,6 +206,12 @@ def scaling_table(total_mib: int = 16, chunk_kib: int = 64) -> None:
 def main() -> None:
     import os
 
+    # Probe-informed batch sizing (BASELINE.md round 4): the chip sorts
+    # 22% cheaper per byte at 4x the batch rows, and one 8 MiB dispatch
+    # halves the analyze/emit sync points vs two 4 MiB ones. Explicit
+    # env wins for A/B runs.
+    os.environ.setdefault("ZZFLATE_BATCH_MIB", "8")
+
     import jax
 
     platform_note = ""
