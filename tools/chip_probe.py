@@ -200,19 +200,42 @@ def main():
     if want("fetch"):
         # Device->host transfer rate of a jit-output buffer (the emit
         # fetch path). Round-1 measured ~7 MB/s through the tunnel; if
-        # this moved, the emit_fetch budget math changes.
-        big = jax.jit(lambda x: x * 2)(jnp.ones((1 << 19,), jnp.uint32))
-        _ = np.asarray(big[:8])
+        # this moved, the emit_fetch budget math changes. A FRESH buffer
+        # per rep: jax.Array caches its host copy after the first
+        # np.asarray, which silently zeroes repeat timings.
+        f2 = jax.jit(lambda x, s: x + s)
+        base = jnp.ones((1 << 19,), jnp.uint32)
+        _ = np.asarray(f2(base, jnp.uint32(0))[:8])
         best = float("inf")
-        for _ in range(3):
+        for i in range(3):
+            buf = f2(base, jnp.uint32(i + 1))
+            buf.block_until_ready()
             t0 = time.perf_counter()
-            _ = np.asarray(big)
+            _ = np.asarray(buf)
             best = min(best, time.perf_counter() - t0)
-        mb = big.size * 4 / 1e6
+        mb = base.size * 4 / 1e6
         print(json.dumps({
-            "cell": "fetch 2MB jit-output",
+            "cell": "fetch 2MB jit-output fresh",
             "ms": round(best * 1000, 1),
             "MBps": round(mb / best, 2),
+        }), flush=True)
+
+        # Concurrent fetches: does the tunnel parallelize transfers of
+        # DISTINCT buffers across threads? If aggregate >> single, the
+        # emit/decode fetch paths should fan out over a thread pool.
+        import concurrent.futures as _cf
+
+        bufs = [f2(base, jnp.uint32(100 + i)) for i in range(4)]
+        for b in bufs:
+            b.block_until_ready()
+        t0 = time.perf_counter()
+        with _cf.ThreadPoolExecutor(max_workers=4) as pool:
+            list(pool.map(np.asarray, bufs))
+        dt = time.perf_counter() - t0
+        print(json.dumps({
+            "cell": "fetch 4x2MB threads",
+            "ms": round(dt * 1000, 1),
+            "MBps_aggregate": round(4 * mb / dt, 2),
         }), flush=True)
 
     if want("emit"):
