@@ -206,11 +206,11 @@ def scaling_table(total_mib: int = 16, chunk_kib: int = 64) -> None:
 def main() -> None:
     import os
 
-    # Probe-informed batch sizing (BASELINE.md round 4): the chip sorts
-    # 22% cheaper per byte at 4x the batch rows, and one 8 MiB dispatch
-    # halves the analyze/emit sync points vs two 4 MiB ones. Explicit
-    # env wins for A/B runs.
-    os.environ.setdefault("ZZFLATE_BATCH_MIB", "8")
+    # Measured 2026-08-20 (BASELINE.md round 4): one 8 MiB dispatch
+    # (ZZFLATE_BATCH_MIB=8) is WORSE end-to-end (4.55 vs 5.23 MB/s)
+    # despite the sort's 22%/byte batch advantage — the two-batch
+    # pipeline's analyze/emit/fetch overlap dominates. Default batch
+    # sizing (4 MiB) stands; env wins for A/B runs.
 
     import jax
 
