@@ -531,11 +531,15 @@ def _stage_out(prefix, stored_idx, stored_val, n_out_pad, n_stored):
     )
     dist_at = jnp.zeros((n_out_pad,), jnp.int32)
     if n_stored:
+        # stored_idx is ascending (concatenated aranges; padding slots
+        # share the out-of-range sentinel at the tail) — sorted scatter.
         litval = litval.at[stored_idx].max(
-            stored_val.astype(jnp.int32), mode="drop"
+            stored_val.astype(jnp.int32), mode="drop",
+            indices_are_sorted=True,
         )
         start_mark = start_mark.at[stored_idx].max(
-            stored_idx.astype(jnp.int32), mode="drop"
+            stored_idx.astype(jnp.int32), mode="drop",
+            indices_are_sorted=True,
         )
     return litval, start_mark, dist_at
 
@@ -611,6 +615,16 @@ def _walk_core(
     litval, start_mark, dist_at = _stage_out(
         prefix, stored_idx, stored_val, n_out_pad, n_stored
     )
+    # Pack the three output-space arrays into ONE (pos-indexed) int32 —
+    # pack = dist << 9 | lit << 1 | started — so the walk emits ONE
+    # scatter (or one record buffer) instead of three. dist <= 32768
+    # (16 bits), lit <= 255; duplicates from deterministic re-walks
+    # write identical values, so max-combining stays exact.
+    packed0 = jnp.where(
+        start_mark >= 0,
+        (dist_at << 9) | (litval << 1) | 1,
+        0,
+    )
     nw = words.shape[0]
     uid = jnp.clip(lane_uid, 0, ll_first.shape[0] - 1)
 
@@ -639,53 +653,64 @@ def _walk_core(
     p0 = jnp.where(lane_valid, lane_bit, 0)
     o0 = jnp.where(lane_valid, lane_out, n_out_pad)
     lcount = lane_bit.shape[0]
+
+    def pack_of(lit, dst, emit):
+        return jnp.where(emit, (dst << 9) | (lit << 1) | 1, 0)
+
     if defer:
         def step(t, state):
-            rec_tgt, rec_lit, rec_dst, p, o, active = state
+            rec_tgt, rec_pack, p, o, active = state
             tgt, lit, dst, p, o, active = decode_step(p, o, active)
             rec_tgt = jax.lax.dynamic_update_slice(
                 rec_tgt, tgt[None, :], (t, 0)
             )
-            rec_lit = jax.lax.dynamic_update_slice(
-                rec_lit, lit[None, :], (t, 0)
+            rec_pack = jax.lax.dynamic_update_slice(
+                rec_pack, pack_of(lit, dst, tgt < n_out_pad)[None, :],
+                (t, 0),
             )
-            rec_dst = jax.lax.dynamic_update_slice(
-                rec_dst, dst[None, :], (t, 0)
-            )
-            return rec_tgt, rec_lit, rec_dst, p, o, active
+            return rec_tgt, rec_pack, p, o, active
 
-        rec_tgt, rec_lit, rec_dst, _, _, _ = jax.lax.fori_loop(
+        rec_tgt, rec_pack, _, _, _ = jax.lax.fori_loop(
             0, t_steps, step,
             (
                 jnp.full((t_steps, lcount), n_out_pad, jnp.int32),
-                jnp.zeros((t_steps, lcount), jnp.int32),
                 jnp.zeros((t_steps, lcount), jnp.int32),
                 p0, o0, lane_valid,
             ),
             unroll=_WALK_UNROLL,
         )
-        ft = rec_tgt.reshape(-1)
-        litval = litval.at[ft].max(rec_lit.reshape(-1), mode="drop")
-        start_mark = start_mark.at[ft].max(
-            jnp.where(ft < n_out_pad, ft, -1), mode="drop"
+        packed = packed0.at[rec_tgt.reshape(-1)].max(
+            rec_pack.reshape(-1), mode="drop"
         )
-        dist_at = dist_at.at[ft].max(rec_dst.reshape(-1), mode="drop")
     else:
-        def step(t, state):
-            litval, start_mark, dist_at, p, o, active = state
-            tgt, lit, dst, p, o, active = decode_step(p, o, active)
-            litval = litval.at[tgt].max(lit, mode="drop")
-            start_mark = start_mark.at[tgt].max(
-                jnp.where(tgt < n_out_pad, tgt, -1), mode="drop"
-            )
-            dist_at = dist_at.at[tgt].max(dst, mode="drop")
-            return litval, start_mark, dist_at, p, o, active
+        # Per-lane sink slots keep the per-step scatter indices truly
+        # unique (inactive lanes each park on their own slot).
+        lane_sink = n_out_pad + jnp.arange(lcount, dtype=jnp.int32)
+        packed_w = jnp.concatenate(
+            [packed0, jnp.zeros((lcount,), jnp.int32)]
+        )
 
-        litval, start_mark, dist_at, _, _, _ = jax.lax.fori_loop(
+        def step(t, state):
+            packed_w, p, o, active = state
+            tgt, lit, dst, p, o, active = decode_step(p, o, active)
+            emit = tgt < n_out_pad
+            idx = jnp.where(emit, tgt, lane_sink)
+            packed_w = packed_w.at[idx].max(
+                pack_of(lit, dst, emit), unique_indices=True
+            )
+            return packed_w, p, o, active
+
+        packed_w, _, _, _ = jax.lax.fori_loop(
             0, t_steps, step,
-            (litval, start_mark, dist_at, p0, o0, lane_valid),
+            (packed_w, p0, o0, lane_valid),
             unroll=_WALK_UNROLL,
         )
+        packed = packed_w[:n_out_pad]
+
+    posn = jnp.arange(n_out_pad, dtype=jnp.int32)
+    litval = (packed >> 1) & 0xFF
+    dist_at = packed >> 9
+    start_mark = jnp.where((packed & 1) == 1, posn, -1)
     return litval, start_mark, dist_at
 
 
