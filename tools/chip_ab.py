@@ -60,13 +60,14 @@ def main():
     #      decode scales ~4x.
     #   2. defer=0 at anchor=256: are the deferred-emit record buffers
     #      (three (t_steps, lanes) DUS per step) the chip regression?
+    # Round-4 cells for the PACKED-scatter walk (single record buffer /
+    # single scatter, per-lane sinks): does the stacked single-dispatch
+    # mode win now that the per-step emission cost is 1/3?
     for cell, env in (
-        ("dec anchor=256 vmap=1 defer=1",
-         {"ZZFLATE_ANCHOR_TOKENS": "256", "ZZFLATE_WALK_VMAP": "1",
-          "ZZFLATE_WALK_DEFER": "1"}),
-        ("dec anchor=256 vmap=1 defer=0",
-         {"ZZFLATE_ANCHOR_TOKENS": "256", "ZZFLATE_WALK_VMAP": "1",
-          "ZZFLATE_WALK_DEFER": "0"}),
+        ("dec packed vmap=0 defer=1", {"ZZFLATE_WALK_VMAP": "0"}),
+        ("dec packed vmap=1 defer=1", {"ZZFLATE_WALK_VMAP": "1"}),
+        ("dec packed vmap=0 defer=0",
+         {"ZZFLATE_WALK_VMAP": "0", "ZZFLATE_WALK_DEFER": "0"}),
     ):
         run(cell, DEC_BODY % {"here": HERE, "cell": cell},
             dict(env, ZZFLATE_WALK_UNROLL="1"), timeout=1800)
