@@ -281,10 +281,13 @@ def find_matches(
 
     mlen, mdist = _unpack_best(best_pack)
 
-    # Dense ranks of key-block prefixes at 16/32/../key_bytes granularity
-    # (equality of rank_L <=> exact equality of the leading L bytes), all
-    # from the ONE sorted order: a new L-byte prefix starts exactly where
-    # the adjacent LCP drops below L.
+    # Dense rank of the FULL key-bytes prefix (equality of rank <=> exact
+    # equality of the leading key_bytes bytes), from the ONE sorted
+    # order: a new prefix starts exactly where the adjacent LCP drops
+    # below key_bytes. (The former 16/32-byte rank ladder — two more
+    # full-width cumsum+scatter passes — is replaced by direct strided
+    # 16-byte word compares in the tail below: the tail runs at anchor
+    # stride, ~1/16th the width of a rank pass.)
     def rank_of(width):
         change = (adjB < width).astype(jnp.int32)
         rs = jnp.cumsum(change)
@@ -293,12 +296,7 @@ def find_matches(
             rs, unique_indices=True
         )
 
-    rank_levels = []
-    width = 16
-    while width <= key_bytes:
-        rank_levels.append((width, rank_of(width)))
-        width *= 2
-    rank_key = rank_levels[-1][1]  # full key_bytes rank
+    rank_key = rank_of(key_bytes)
 
     full = mlen >= key_bytes
 
@@ -337,21 +335,22 @@ def find_matches(
         alive = alive & eq
         ext = ext + alive.astype(jnp.int32)
 
-    # Tail: refine inside the first unequal block by descending the rank
-    # ladder (key/2, .., 16 bytes), then a final sub-16-byte word LCP.
+    # Tail: refine inside the first unequal key-block by direct 16-byte
+    # word LCPs (exact; 8 strided gathers per round at 1/16th full
+    # width beat the former full-width rank-ladder passes). A round
+    # yielding < 16 equal bytes has found the mismatch — later rounds
+    # are masked off.
     off = key_bytes * (ext + 1)
-    for width, rank_w in reversed(rank_levels[:-1]):
-        eq = (
-            jnp.take(rank_w, posx + off, mode="clip")
-            == jnp.take(rank_w, candx + off, mode="clip")
-        ) & (posx + off + width <= n)
-        off = off + jnp.where(eq, width, 0)
-    tail_p = posx + off
-    tail_c = candx + off
-    pw = [jnp.take(w[j], tail_p, mode="clip") for j in range(4)]
-    cw = [jnp.take(w[j], tail_c, mode="clip") for j in range(4)]
-    tail = _lcp_words(pw, cw)
-    extlen = off + tail
+    alive_t = jnp.ones(off.shape, bool)
+    for _ in range(key_bytes // 16):
+        tp = posx + off
+        tc = candx + off
+        pw = [jnp.take(w[j], tp, mode="clip") for j in range(4)]
+        cw = [jnp.take(w[j], tc, mode="clip") for j in range(4)]
+        l16 = jnp.where(alive_t, _lcp_words(pw, cw), 0)
+        off = off + l16
+        alive_t = alive_t & (l16 == 16)
+    extlen = off
 
     if use_anchors:
         # mlen at anchors (exact), then propagate to r > 0 positions.
