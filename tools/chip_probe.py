@@ -366,6 +366,40 @@ def main():
     if want("walk1026x4096d0"):
         walk_cell("walk t=1026 lanes=4096 nodefer", 1026, 4096, False)
 
+    if want("luts"):
+        from zzflate_tpu.models import inflate_tpu as IT
+
+        u_pad = 64
+        rngl = np.random.default_rng(9)
+        first = jnp.asarray(
+            rngl.integers(0, 1 << 14, (u_pad, 16)).astype(np.int32)
+        )
+        cntl = jnp.asarray(
+            rngl.integers(0, 40, (u_pad, 16)).astype(np.int32)
+        )
+        offl = jnp.asarray(
+            rngl.integers(0, 200, (u_pad, 16)).astype(np.int32)
+        )
+        symt = jnp.asarray(
+            rngl.integers(0, 285, (u_pad, IT._MAX_LL)).astype(np.int32)
+        )
+
+        @jax.jit
+        def fluts(f, c, o, s):
+            lut = IT._build_luts(
+                f, c, o, s, jnp.asarray(IT._ll_attr()), IT._MAX_LL, 10
+            )
+            return lut[:, ::4096]
+
+        try:
+            ms = timeit(fluts, first, cntl, offl, symt)
+            print(json.dumps({
+                "cell": "build_luts u=64 ll", "ms": round(ms, 1),
+            }), flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"cell": "luts", "error": repr(e)[:200]}),
+                  flush=True)
+
     if want("resolve"):
         from zzflate_tpu.models import inflate_tpu as IT
 
