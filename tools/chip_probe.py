@@ -81,11 +81,10 @@ def sort_cell(name, b, n, nops, reps=3):
 # on-chip: sortB(16,294912,k16)=101ms, (64,294912)=317ms (17.6/MiB),
 # (16,524288)=145ms (18.1/MiB), k8=58.6ms. Sorts are ~30% of analyze;
 # the default now runs the phase-2 cells that locate the other ~600ms.
-_DEFAULT = (
-    "full", "parse", "hist", "fetch",
-    "walk1026x4096", "walk258x16384", "walk258x4096", "walk1026x4096d0",
-    "resolve", "emit", "prop",
-)
+# (Measured 2026-08-20: full=340ms, parse=170, hist=27, emit=252,
+# walk cells ~93ns/lane-step, resolve=211, prop=26, fetch=33MB/s —
+# BASELINE.md round 4. Only the LUT-build cell remains unmeasured.)
+_DEFAULT = ("luts",)
 
 
 def main():
