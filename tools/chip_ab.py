@@ -1,11 +1,14 @@
 """On-chip A/B of the perf env knobs (run by tools/watch_tunnel.sh when
 the tunnel recovers; safe to run by hand).
 
-Measures, each in a fresh subprocess so env knobs bind before jax init:
-  1. indexed TPU decode with ZZFLATE_WALK_VMAP=0/1 (stacked groups)
-     x ZZFLATE_WALK_UNROLL=1/4
-  2. encode with ZZFLATE_PALLAS_PARSE=1 vs XLA row sweeps
-Prints one JSON line per cell.
+Round-4 decode cells for the PACKED-scatter walk (single record buffer /
+single scatter, per-lane sinks): does the stacked single-dispatch mode
+win now that the per-step emission cost is 1/3?
+
+Compiles are the scarce resource on the tunneled platform: the indexed
+test stream is encoded ONCE (in its own subprocess) and cached at
+/tmp/ab_indexed.bin, so every decode cell only compiles the decode
+graphs. Prints one JSON line per cell, incrementally.
 """
 from __future__ import annotations
 
@@ -15,15 +18,27 @@ import subprocess
 import sys
 
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BLOB = "/tmp/ab_indexed.bin"
 
-DEC_BODY = r"""
-import time, json, sys, zlib
+ENC_BODY = r"""
+import sys, zlib
 sys.path.insert(0, %(here)r)
 import bench, zzflate_tpu as zf
-from zzflate_tpu.models import inflate_tpu
 data = bench.build_corpus()
 oi = zf.compress(data, level=6, format="gzip", chunk_bytes=1 << 18,
                  indexed=True)
+assert zlib.decompress(oi, wbits=31) == data
+open(%(blob)r, "wb").write(oi)
+print("encoded", len(oi))
+"""
+
+DEC_BODY = r"""
+import time, json, sys
+sys.path.insert(0, %(here)r)
+import bench
+from zzflate_tpu.models import inflate_tpu
+data = bench.build_corpus()
+oi = open(%(blob)r, "rb").read()
 arr, n = inflate_tpu.decompress_indexed(oi, to_device=True)  # warm/compile
 assert n == len(data)
 best = 9e9
@@ -34,6 +49,7 @@ for _ in range(3):
 print(json.dumps({"cell": %(cell)r, "dec_tpu_dev_MBps":
                   round(len(data) / 1e6 / best, 2)}))
 """
+
 
 def run(cell: str, body: str, env_extra: dict, timeout: int = 2400):
     env = dict(os.environ, **env_extra)
@@ -50,27 +66,19 @@ def run(cell: str, body: str, env_extra: dict, timeout: int = 2400):
 
 
 def main():
-    # Compiles are the scarce resource on the tunneled platform (the
-    # remote compile service wedges; see BASELINE.md round 3): run only
-    # the decisive decode cells. Round-4 hypotheses, from the round-3
-    # on-chip datum (stacked/deferred walk = 2.09 MB/s, WORSE than the
-    # round-2 in-loop-scatter path's 4.80):
-    #   1. anchor=256: 4x fewer sequential walk steps (t_steps 258 vs
-    #      1026) at 4x the lanes — if the loop is step-latency-bound,
-    #      decode scales ~4x.
-    #   2. defer=0 at anchor=256: are the deferred-emit record buffers
-    #      (three (t_steps, lanes) DUS per step) the chip regression?
-    # Round-4 cells for the PACKED-scatter walk (single record buffer /
-    # single scatter, per-lane sinks): does the stacked single-dispatch
-    # mode win now that the per-step emission cost is 1/3?
+    if not os.path.exists(BLOB):
+        run("encode indexed", ENC_BODY % {"here": HERE, "blob": BLOB},
+            {}, timeout=2400)
+    if not os.path.exists(BLOB):
+        return  # encode wedged; cells next window
     for cell, env in (
         ("dec packed vmap=0 defer=1", {"ZZFLATE_WALK_VMAP": "0"}),
         ("dec packed vmap=1 defer=1", {"ZZFLATE_WALK_VMAP": "1"}),
         ("dec packed vmap=0 defer=0",
          {"ZZFLATE_WALK_VMAP": "0", "ZZFLATE_WALK_DEFER": "0"}),
     ):
-        run(cell, DEC_BODY % {"here": HERE, "cell": cell},
-            dict(env, ZZFLATE_WALK_UNROLL="1"), timeout=1800)
+        run(cell, DEC_BODY % {"here": HERE, "blob": BLOB, "cell": cell},
+            dict(env, ZZFLATE_WALK_UNROLL="1"), timeout=1500)
 
 
 if __name__ == "__main__":
