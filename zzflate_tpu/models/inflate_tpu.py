@@ -1212,8 +1212,7 @@ def decompress_foreign(
         header_len, dictid = containers.parse_zlib_header(data)
         if dictid is not None:
             return None  # device path has no preset-dictionary lanes
-        body = data[header_len:-4]
-        (adler_expect,) = struct.unpack(">I", data[-4:])
+        body = data[header_len:]  # trailer located after the scan
     elif format == "raw":
         body = data
     else:
@@ -1226,6 +1225,13 @@ def decompress_foreign(
         blocks, anchors, total_out, end_bit = _native.scan_anchors(body, T)
     except ValueError:
         return None  # corrupt per the scanner: let native raise precisely
+    if format == "zlib":
+        # Adler-32 sits right after the final block (trailing bytes
+        # beyond it are ignored, matching zlib.decompress).
+        tr = header_len + (end_bit + 7) // 8
+        if tr + 4 > len(data):
+            raise ValueError("truncated zlib trailer")
+        (adler_expect,) = struct.unpack(">I", data[tr : tr + 4])
     if format == "gzip":
         member_end = header_len + (end_bit + 7) // 8 + 8
         if member_end > len(data):
