@@ -200,28 +200,30 @@ class _Unit:
 
 def _plan_units(body: bytes, chunks, out_starts, out_sizes):
     """Host walk: per indexed block, parse its header into canonical
-    descriptors; stored segments are collected as (offsets, bytes).
+    descriptors; stored segments become RUN DESCRIPTORS
+    (out_pos, body_byte_off, len) — their payload bytes already live in
+    the uploaded words buffer, so only ~12 B/run crosses the host->device
+    link instead of 9 B per stored BYTE (the 21+ MB upload that
+    dominated chip decode of stored-heavy streams, BASELINE.md round 4).
     Offsets (bit and output) are relative to the given body/out space.
     unit_ranges[i] is the [lo, hi) slice of `units` from chunk i
     (empty for stored-fallback chunks)."""
     units = []
-    stored_idx: list[np.ndarray] = []
-    stored_val: list[np.ndarray] = []
+    stored_runs: list[tuple[int, int, int]] = []
     unit_ranges: list[tuple[int, int]] = []
     pos = 0
     for i, (sz, blocks, _anchors) in enumerate(chunks):
         seg = body[pos : pos + sz]
         seg_bit0 = pos * 8
+        seg_byte0 = pos
         pos += sz
         ulo = len(units)
         br = BitReader(seg, 0)
         br.bits(1)
         if br.bits(2) == 0:
-            raw = _stored_bytes(seg, out_sizes[i])
-            stored_idx.append(
-                np.arange(out_starts[i], out_starts[i] + len(raw), dtype=np.int64)
+            stored_runs.extend(
+                _stored_runs(seg, out_starts[i], out_sizes[i], seg_byte0)
             )
-            stored_val.append(np.frombuffer(raw, np.uint8))
             unit_ranges.append((ulo, ulo))
             continue
         for bit_off, out_off in blocks:
@@ -243,21 +245,26 @@ def _plan_units(body: bytes, chunks, out_starts, out_sizes):
                 )
             )
         unit_ranges.append((ulo, len(units)))
-    return units, stored_idx, stored_val, unit_ranges
+    return units, stored_runs, unit_ranges
 
 
-def _stored_bytes(seg: bytes, out_bytes: int) -> bytes:
-    """Walk the byte-aligned stored blocks of a fallback segment (host)."""
+def _stored_runs(seg: bytes, out_base: int, out_bytes: int,
+                 seg_byte0: int) -> list[tuple[int, int, int]]:
+    """Walk the byte-aligned stored blocks of a fallback segment (host),
+    yielding (out_pos, body_byte_off, len) run descriptors."""
     br = BitReader(seg, 0)
-    raw = bytearray()
-    while len(raw) < out_bytes:
+    runs: list[tuple[int, int, int]] = []
+    done = 0
+    while done < out_bytes:
         br.bits(3)
         br.align()
         p = br.bitpos >> 3
         (ln,) = struct.unpack("<H", seg[p : p + 2])
-        raw += seg[p + 4 : p + 4 + ln]
+        if ln:
+            runs.append((out_base + done, seg_byte0 + p + 4, ln))
+        done += ln
         br.bitpos = (p + 4 + ln) << 3
-    return bytes(raw)
+    return runs
 
 
 # ---------------------------------------------------------------------------
@@ -459,7 +466,7 @@ def _commit_walk(step, start_bits, unit_valid, max_sup_span):
 )
 def _decode_all(
     words, ll_first, ll_cnt, ll_off, ll_sym, d_first, d_cnt, d_off, d_sym,
-    start_bits, out_bases, unit_valid, prefix, stored_idx, stored_val,
+    start_bits, out_bases, unit_valid, prefix, stored_runs,
     nbits, n_out_pad, max_sup_span, n_stored,
 ):
     """One fused device graph: LUT build -> per-bit decode -> commit ->
@@ -503,7 +510,7 @@ def _decode_all(
     com_tok = committed & (islit | islen)
     tgt = jnp.where(com_tok, off, n_out_pad)
     litval, start_mark, dist_at = _stage_out(
-        prefix, stored_idx, stored_val, n_out_pad, n_stored
+        prefix, stored_runs, words, n_out_pad, n_stored
     )
     litval = litval.at[tgt].max(
         jnp.where(islit, sym, 0), mode="drop"
@@ -517,9 +524,15 @@ def _decode_all(
     return _resolve_lz(litval, start_mark, dist_at, n_out_pad)
 
 
-def _stage_out(prefix, stored_idx, stored_val, n_out_pad, n_stored):
+def _stage_out(prefix, stored_runs, words, n_out_pad, n_stored):
     """Initial output-space arrays: the 32 KiB resolved prefix occupies
-    [0, _W) as self-resolved literals; stored bytes scatter likewise."""
+    [0, _W) as self-resolved literals; stored-run bytes are read
+    DEVICE-SIDE out of the words buffer (their payload is part of the
+    compressed body) via a run-id segment scan — no per-byte staging.
+
+    stored_runs: (n_stored, 3) int32 [out_pos, body_byte_off, len]
+    sorted by out_pos; padding rows have out_pos = n_out_pad, len 0.
+    """
     litval = jnp.concatenate(
         [prefix.astype(jnp.int32), jnp.zeros((n_out_pad - _W,), jnp.int32)]
     )
@@ -531,16 +544,26 @@ def _stage_out(prefix, stored_idx, stored_val, n_out_pad, n_stored):
     )
     dist_at = jnp.zeros((n_out_pad,), jnp.int32)
     if n_stored:
-        # stored_idx is ascending (concatenated aranges; padding slots
-        # share the out-of-range sentinel at the tail) — sorted scatter.
-        litval = litval.at[stored_idx].max(
-            stored_val.astype(jnp.int32), mode="drop",
-            indices_are_sorted=True,
+        run_out = stored_runs[:, 0]
+        run_src = stored_runs[:, 1]
+        run_len = stored_runs[:, 2]
+        rid = jnp.arange(n_stored, dtype=jnp.int32)
+        idx = jnp.arange(n_out_pad, dtype=jnp.int32)
+        a = jnp.full((n_out_pad,), -1, jnp.int32).at[run_out].max(
+            rid, mode="drop", indices_are_sorted=True, unique_indices=True
         )
-        start_mark = start_mark.at[stored_idx].max(
-            stored_idx.astype(jnp.int32), mode="drop",
-            indices_are_sorted=True,
-        )
+        seg = jax.lax.associative_scan(jnp.maximum, a)
+        sc = jnp.clip(seg, 0, n_stored - 1)
+        within = idx - run_out[sc]
+        valid = (seg >= 0) & (within < run_len[sc])
+        sb = run_src[sc] + within
+        nw = words.shape[0]
+        byte = (
+            words[jnp.clip(sb >> 2, 0, nw - 1)]
+            >> (8 * (sb & 3)).astype(jnp.uint32)
+        ).astype(jnp.int32) & 0xFF
+        litval = jnp.where(valid, byte, litval)
+        start_mark = jnp.where(valid, idx, start_mark)
     return litval, start_mark, dist_at
 
 
@@ -590,8 +613,8 @@ def _resolve_lz(litval, start_mark, dist_at, n_out_pad):
 
 def _walk_core(
     words, ll_first, ll_cnt, ll_off, ll_sym, d_first, d_cnt, d_off, d_sym,
-    lane_bit, lane_out, lane_uid, lane_valid, prefix, stored_idx,
-    stored_val, n_out_pad, n_stored, t_steps, defer,
+    lane_bit, lane_out, lane_uid, lane_valid, prefix, stored_runs,
+    n_out_pad, n_stored, t_steps, defer,
 ):
     """Anchor-walk decode (v3 indexed streams): every lane decodes up to
     t_steps tokens serially from a known token-aligned bit position (a
@@ -613,7 +636,7 @@ def _walk_core(
         d_first, d_cnt, d_off, d_sym, jnp.asarray(_d_attr()), _MAX_D, 5
     )
     litval, start_mark, dist_at = _stage_out(
-        prefix, stored_idx, stored_val, n_out_pad, n_stored
+        prefix, stored_runs, words, n_out_pad, n_stored
     )
     # Pack the three output-space arrays into ONE (pos-indexed) int32 —
     # pack = dist << 9 | lit << 1 | started — so the walk emits ONE
@@ -722,15 +745,15 @@ def _walk_core(
 )
 def _walk_all(
     words, ll_first, ll_cnt, ll_off, ll_sym, d_first, d_cnt, d_off, d_sym,
-    lane_bit, lane_out, lane_uid, lane_valid, prefix, stored_idx,
-    stored_val, crc_len, n_out_pad, n_stored, t_steps, with_crc,
+    lane_bit, lane_out, lane_uid, lane_valid, prefix, stored_runs,
+    crc_len, n_out_pad, n_stored, t_steps, with_crc,
     defer=True,
 ):
     """Single-group anchor-walk decode: walk + LZ resolve + fused CRC."""
     litval, start_mark, dist_at = _walk_core(
         words, ll_first, ll_cnt, ll_off, ll_sym, d_first, d_cnt, d_off,
         d_sym, lane_bit, lane_out, lane_uid, lane_valid, prefix,
-        stored_idx, stored_val, n_out_pad, n_stored, t_steps, defer,
+        stored_runs, n_out_pad, n_stored, t_steps, defer,
     )
     out = _resolve_lz(litval, start_mark, dist_at, n_out_pad)
     if not with_crc:
@@ -751,8 +774,8 @@ def _walk_all(
 )
 def _walk_all_grouped(
     words, ll_first, ll_cnt, ll_off, ll_sym, d_first, d_cnt, d_off, d_sym,
-    lane_bit, lane_out, lane_uid, lane_valid, prefix0, stored_idx,
-    stored_val, crc_len, go, n_out_pad, n_stored, t_steps, with_crc,
+    lane_bit, lane_out, lane_uid, lane_valid, prefix0, stored_runs,
+    crc_len, go, n_out_pad, n_stored, t_steps, with_crc,
     defer=True,
 ):
     """All-groups anchor-walk decode in ONE dispatch.
@@ -768,17 +791,16 @@ def _walk_all_grouped(
     zero_prefix = jnp.zeros((_W,), jnp.uint8)
 
     def parents(w, lf, lc, lo, ls, df, dc, do_, ds, lb, lo2, lu, lv,
-                si, sv):
+                sr):
         litval, start_mark, dist_at = _walk_core(
             w, lf, lc, lo, ls, df, dc, do_, ds, lb, lo2, lu, lv,
-            zero_prefix, si, sv, n_out_pad, n_stored, t_steps, defer,
+            zero_prefix, sr, n_out_pad, n_stored, t_steps, defer,
         )
         return litval, _resolve_parent(start_mark, dist_at, n_out_pad)
 
     litval, parent = jax.vmap(parents)(
         words, ll_first, ll_cnt, ll_off, ll_sym, d_first, d_cnt, d_off,
-        d_sym, lane_bit, lane_out, lane_uid, lane_valid, stored_idx,
-        stored_val,
+        d_sym, lane_bit, lane_out, lane_uid, lane_valid, stored_runs,
     )
 
     from zzflate_tpu.ops import checksums as cs
@@ -909,19 +931,11 @@ def decompress_indexed(
     try:
         for glo, ghi in groups:
             g_out_lo = out_starts[glo]
-            units, sidx, sval, uranges = _plan_units(
+            units, sruns, uranges = _plan_units(
                 body[cpos[glo] : cpos[ghi]],
                 chunks[glo:ghi],
                 [_W + out_starts[i] - g_out_lo for i in range(glo, ghi)],
                 out_sizes[glo:ghi],
-            )
-            si = (
-                np.concatenate(sidx).astype(np.int64)
-                if sidx
-                else np.zeros(0, np.int64)
-            )
-            sv = (
-                np.concatenate(sval) if sval else np.zeros(0, np.uint8)
             )
             # Walk lanes: every block's first token + every index anchor
             # (rebased into the group's flat bit/output spaces), each
@@ -945,9 +959,9 @@ def decompress_indexed(
                         if k < 0:
                             continue  # anchor before any token: bogus
                         lanes.append((bit, outbase + ao, ulo + k))
-            plans.append((glo, ghi, units, si, sv, lanes))
+            plans.append((glo, ghi, units, sruns, lanes))
             max_units = max(max_units, len(units))
-            max_stored = max(max_stored, len(si))
+            max_stored = max(max_stored, len(sruns))
             max_lanes = max(max_lanes, len(lanes))
     except (IndexError, struct.error) as e:
         # Host header parsing ran off the segment: the index lied.
@@ -988,7 +1002,7 @@ def decompress_indexed(
     # sequential walk per group.
     grouped = use_walk and _WALK_VMAP and len(plans) > 1
     staged: list[tuple] = []
-    for glo, ghi, units, si0, sv0, lanes in plans:
+    for glo, ghi, units, sruns0, lanes in plans:
         gbody = body[cpos[glo] : cpos[ghi]]
         go = (
             out_starts[ghi - 1] + out_sizes[ghi - 1] - out_starts[glo]
@@ -1013,13 +1027,12 @@ def decompress_indexed(
             out_bases[j] = un.out_base
             unit_valid[j] = True
         if n_stored:
-            si = np.full(n_stored, n_out_pad, np.int32)
-            si[: len(si0)] = si0
-            sv = np.zeros(n_stored, np.uint8)
-            sv[: len(sv0)] = sv0
+            sr = np.zeros((n_stored, 3), np.int32)
+            sr[:, 0] = n_out_pad  # padding rows: out of range, len 0
+            for j, (op, so, ln) in enumerate(sruns0):
+                sr[j] = (op, so, ln)
         else:
-            si = np.zeros(1, np.int32)
-            sv = np.zeros(1, np.uint8)
+            sr = np.zeros((1, 3), np.int32)
 
         if use_walk:
             lane_bit = np.zeros(l_pad, np.int32)
@@ -1036,7 +1049,7 @@ def decompress_indexed(
                     words, ll_first, ll_cnt, ll_offs, ll_sym,
                     d_first, d_cnt, d_offs, d_sym,
                     lane_bit, lane_out, lane_uid, lane_valid,
-                    si, sv, go,
+                    sr, go,
                 ))
                 continue
             out_dev, crc_dev = _walk_all(
@@ -1047,7 +1060,7 @@ def decompress_indexed(
                 jnp.asarray(d_offs), jnp.asarray(d_sym),
                 jnp.asarray(lane_bit), jnp.asarray(lane_out),
                 jnp.asarray(lane_uid), jnp.asarray(lane_valid), prefix,
-                jnp.asarray(si), jnp.asarray(sv),
+                jnp.asarray(sr),
                 jnp.asarray(_W + go, jnp.int32),
                 n_out_pad=n_out_pad, n_stored=n_stored, t_steps=t_steps,
                 with_crc=verify, defer=_WALK_DEFER,
@@ -1063,7 +1076,7 @@ def decompress_indexed(
                 jnp.asarray(d_offs), jnp.asarray(d_sym),
                 jnp.asarray(start_bits), jnp.asarray(out_bases),
                 jnp.asarray(unit_valid), prefix,
-                jnp.asarray(si), jnp.asarray(sv),
+                jnp.asarray(sr),
                 nbits=nbits, n_out_pad=n_out_pad,
                 max_sup_span=max_sup_span, n_stored=n_stored,
             )
@@ -1089,7 +1102,7 @@ def decompress_indexed(
             )
 
     if grouped:
-        gos = np.array([s[15] for s in staged], np.int32)
+        gos = np.array([s[14] for s in staged], np.int32)
         ngroups = len(staged)
         # Pad the group axis to a power of two with inert groups (no
         # valid lanes, zero output) so every stream-size class in a
@@ -1097,7 +1110,7 @@ def decompress_indexed(
         # otherwise cost its own slow remote compile.
         gp = _pow2(ngroups)
         padded = staged + [
-            tuple(np.zeros_like(a) for a in staged[0][:15]) + (0,)
+            tuple(np.zeros_like(a) for a in staged[0][:14]) + (0,)
         ] * (gp - ngroups)
         gpos = np.concatenate([gos, np.zeros(gp - ngroups, np.int32)])
         outs, crcs = _walk_all_grouped(
@@ -1107,7 +1120,6 @@ def decompress_indexed(
             ),
             prefix,
             jnp.asarray(np.stack([s[13] for s in padded])),
-            jnp.asarray(np.stack([s[14] for s in padded])),
             jnp.asarray(_W + gpos), jnp.asarray(gpos),
             n_out_pad=n_out_pad, n_stored=n_stored, t_steps=t_steps,
             with_crc=verify, defer=_WALK_DEFER,
@@ -1289,21 +1301,15 @@ def decompress_foreign(
         out_lo = int(blocks[glo, 2])
         go = int(out_ends[ghi - 1]) - out_lo
         units = []
-        sidx: list[np.ndarray] = []
-        sval: list[np.ndarray] = []
+        sruns: list[tuple[int, int, int]] = []
         ustarts: list[int] = []
         for bi in range(glo, ghi):
             bit0, btype, ostart, aux0, aux1 = (int(v) for v in blocks[bi])
             if btype == 0:
-                raw = body[aux0 : aux0 + aux1]
-                sidx.append(
-                    np.arange(
-                        _W + ostart - out_lo,
-                        _W + ostart - out_lo + aux1,
-                        dtype=np.int64,
+                if aux1:
+                    sruns.append(
+                        (_W + ostart - out_lo, aux0 - byte_lo, aux1)
                     )
-                )
-                sval.append(np.frombuffer(raw, np.uint8))
                 continue
             # parse the header at the absolute bit, then rebase below
             b = BitReader(body, bit0)
@@ -1337,15 +1343,9 @@ def decompress_foreign(
             lanes.append(
                 (bit - 8 * byte_lo, _W + aout - out_lo, k)
             )
-        si = (
-            np.concatenate(sidx).astype(np.int64)
-            if sidx
-            else np.zeros(0, np.int64)
-        )
-        sv = np.concatenate(sval) if sval else np.zeros(0, np.uint8)
-        plans.append((byte_lo, byte_hi, out_lo, go, units, si, sv, lanes))
+        plans.append((byte_lo, byte_hi, out_lo, go, units, sruns, lanes))
         max_units = max(max_units, len(units))
-        max_stored = max(max_stored, len(si))
+        max_stored = max(max_stored, len(sruns))
         max_lanes = max(max_lanes, len(lanes))
         max_body = max(max_body, byte_hi - byte_lo)
         max_go = max(max_go, go)
@@ -1365,7 +1365,7 @@ def decompress_foreign(
     group_crc: list[jax.Array] = []
     grouped = _WALK_VMAP and multi
     staged: list[tuple] = []
-    for byte_lo, byte_hi, out_lo, go, units, si0, sv0, lanes in plans:
+    for byte_lo, byte_hi, out_lo, go, units, sruns0, lanes in plans:
         gbody = body[byte_lo:byte_hi]
         wbytes = gbody + b"\x00" * (nw * 4 - len(gbody))
         words = np.frombuffer(wbytes[: nw * 4], "<u4")
@@ -1381,13 +1381,12 @@ def decompress_foreign(
             ll_first[j], ll_cnt[j], ll_offs[j], ll_sym[j] = un.ll
             d_first[j], d_cnt[j], d_offs[j], d_sym[j] = un.d
         if n_stored:
-            si = np.full(n_stored, n_out_pad, np.int64)
-            si[: len(si0)] = si0
-            sv = np.zeros(n_stored, np.uint8)
-            sv[: len(sv0)] = sv0
+            sr = np.zeros((n_stored, 3), np.int32)
+            sr[:, 0] = n_out_pad  # padding rows: out of range, len 0
+            for j, (op, so, ln) in enumerate(sruns0):
+                sr[j] = (op, so, ln)
         else:
-            si = np.zeros(1, np.int64)
-            sv = np.zeros(1, np.uint8)
+            sr = np.zeros((1, 3), np.int32)
         lane_bit = np.zeros(l_pad, np.int32)
         lane_out = np.zeros(l_pad, np.int32)
         lane_uid = np.zeros(l_pad, np.int32)
@@ -1402,7 +1401,7 @@ def decompress_foreign(
                 words, ll_first, ll_cnt, ll_offs, ll_sym,
                 d_first, d_cnt, d_offs, d_sym,
                 lane_bit, lane_out, lane_uid, lane_valid,
-                si.astype(np.int32), sv, go,
+                sr, go,
             ))
             continue
         out_dev, crc_dev = _walk_all(
@@ -1413,7 +1412,7 @@ def decompress_foreign(
             jnp.asarray(d_offs), jnp.asarray(d_sym),
             jnp.asarray(lane_bit), jnp.asarray(lane_out),
             jnp.asarray(lane_uid), jnp.asarray(lane_valid), prefix,
-            jnp.asarray(si.astype(np.int32)), jnp.asarray(sv),
+            jnp.asarray(sr),
             jnp.asarray(_W + go, jnp.int32),
             n_out_pad=n_out_pad, n_stored=n_stored, t_steps=t_steps,
             with_crc=verify and format == "gzip", defer=_WALK_DEFER,
@@ -1426,11 +1425,11 @@ def decompress_foreign(
         )
 
     if grouped:
-        gos = np.array([s[15] for s in staged], np.int32)
+        gos = np.array([s[14] for s in staged], np.int32)
         ngroups = len(staged)
         gp = _pow2(ngroups)
         padded = staged + [
-            tuple(np.zeros_like(a) for a in staged[0][:15]) + (0,)
+            tuple(np.zeros_like(a) for a in staged[0][:14]) + (0,)
         ] * (gp - ngroups)
         gpos = np.concatenate([gos, np.zeros(gp - ngroups, np.int32)])
         outs, crcs = _walk_all_grouped(
@@ -1440,7 +1439,6 @@ def decompress_foreign(
             ),
             prefix,
             jnp.asarray(np.stack([s[13] for s in padded])),
-            jnp.asarray(np.stack([s[14] for s in padded])),
             jnp.asarray(_W + gpos), jnp.asarray(gpos),
             n_out_pad=n_out_pad, n_stored=n_stored, t_steps=t_steps,
             with_crc=verify and format == "gzip", defer=_WALK_DEFER,
