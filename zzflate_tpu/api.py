@@ -139,12 +139,21 @@ def _encode_segments(
 
     bsz = _device_batch(chunk_bytes, config.mem_level)
     sharding = None
+    ndev = 1
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
 
         ndev = mesh.devices.size
         bsz = ndev * max(1, bsz)
         sharding = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+    # Never batch far beyond the real chunk count: padded rows run the
+    # FULL analyze/emit compute for nothing (a 2 MiB input on a 4-device
+    # mesh would otherwise dispatch 256 rows for 32 real chunks). Pow2
+    # bucketing of the per-device row count keeps the number of compiled
+    # shapes logarithmic while bounding pad waste at <2x.
+    per_dev = -(-nchunks // ndev)
+    cap = 1 << max(0, per_dev - 1).bit_length()
+    bsz = max(ndev, min(bsz, cap * ndev))
     max_dist = min(32768, 1 << config.window_bits)
 
     # Level-9 cost-aware parse: native C shortest-bit-path DP over the
