@@ -92,3 +92,23 @@ def test_foreign_corrupt_crc_raises(mixed):
     g[-5] ^= 0xFF  # flip a CRC byte
     with pytest.raises(ValueError):
         inflate_tpu.decompress_foreign(bytes(g), format="gzip")
+
+
+def test_foreign_multimember_and_device_residency(mixed):
+    import zlib as _z
+
+    a = mixed[: 1 << 17]
+    b = mixed[1 << 17 : 1 << 18]
+    two = gzip.compress(a, 6) + gzip.compress(b, 5)
+    # First member decodes on device; the tail member is appended via
+    # the host path (RFC 1952 multi-member contract).
+    assert inflate_tpu.decompress_foreign(two, format="gzip") == a + b
+    # Device-resident return (the data-loading path).
+    one = gzip.compress(a, 6)
+    arr, n = inflate_tpu.decompress_foreign(one, format="gzip",
+                                            to_device=True)
+    assert n == len(a)
+    assert bytes(bytearray(np.asarray(arr[:n]))) == a
+    # Trailing junk after a zlib stream is ignored (stdlib contract).
+    z = _z.compress(a, 6)
+    assert inflate_tpu.decompress_foreign(z + b"XX", format="zlib") == a
