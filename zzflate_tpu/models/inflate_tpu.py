@@ -278,28 +278,47 @@ def _build_luts(first, cnt, off, symtab, attr, nsym, sym_bits):
     Entry: sym(sym_bits) | nb<<sym_bits (4b) | attr<<(sym_bits+4);
     0 = invalid window. sym_bits=10 (litlen, 15-bit attr) or 5
     (distance, whose 19-bit attr would overflow u32 with a 10-bit
-    symbol field)."""
+    symbol field).
+
+    Canonical closed form (round 4; the former 15-round masked range
+    cascade was ~92 ms/table on-chip): canonical assignment makes the
+    left-aligned code ranges TILE the window space contiguously —
+    first_aligned[ln+1] == hi_aligned[ln], where
+    hi_aligned[ln] = (first[ln]+cnt[ln]) << (15-ln) — so a window's
+    code length is ln(v) = 1 + #{L : v >= hi_aligned[L]}, a sum of 15
+    compares, and its symbol index is
+    off[ln] + ((v - first[ln]<<(15-ln)) >> (15-ln)). Zero-width
+    lengths collapse (equal boundaries) and incomplete trees leave
+    v >= hi_aligned[15] -> invalid."""
     c = jnp.asarray(_brev15())[None, :]  # (1, 32768) reversed windows
-    u = first.shape[0]
-    ln_sel = jnp.zeros((u, 1 << _LUT_BITS), jnp.int32)
-    idx_sel = jnp.zeros((u, 1 << _LUT_BITS), jnp.int32)
-    for ln in range(1, 16):
-        code = c >> (_LUT_BITS - ln)
-        f = first[:, ln][:, None]
-        hit = (
-            (cnt[:, ln][:, None] > 0)
-            & (code >= f)
-            & (code < f + cnt[:, ln][:, None])
-            & (ln_sel == 0)
+    ln_r = jnp.arange(16, dtype=jnp.int32)
+    hi_aligned = (first + cnt) << (15 - ln_r)  # (U, 16)
+    # Descriptors zero first/cnt beyond the tree's max length, which
+    # would fold those boundaries back to 0; the running max keeps the
+    # boundary sequence monotone (trailing lengths inherit the last
+    # real boundary, leading empty lengths stay at 0 and count v >= 0
+    # exactly once each — the tiling offset).
+    hi_mono = jax.lax.cummax(hi_aligned, axis=1)
+    ln_sel = jnp.int32(1) + sum(
+        (c >= hi_mono[:, L][:, None]).astype(jnp.int32)
+        for L in range(1, 16)
+    )
+    valid = ln_sel <= 15
+    lnc = jnp.clip(ln_sel, 1, 15)
+    idx_sel = jnp.zeros(c.shape[:1] + (1 << _LUT_BITS,), jnp.int32)
+    for L in range(1, 16):
+        rel = (c - (first[:, L] << (15 - L))[:, None]) >> (15 - L)
+        idx_sel = jnp.where(
+            lnc == L, off[:, L][:, None] + rel, idx_sel
         )
-        ln_sel = jnp.where(hit, ln, ln_sel)
-        idx_sel = jnp.where(hit, off[:, ln][:, None] + code - f, idx_sel)
+    # Zero-width lengths never win (their aligned range is empty: the
+    # boundary sum walks past them), so cnt[lnc] > 0 wherever valid.
     sym = jnp.take_along_axis(
         symtab, jnp.clip(idx_sel, 0, nsym - 1), axis=1
     )
     a = attr[sym]
-    ent = sym | (ln_sel << sym_bits) | (a << (sym_bits + 4))
-    return jnp.where(ln_sel > 0, ent, 0)
+    ent = sym | (lnc << sym_bits) | (a << (sym_bits + 4))
+    return jnp.where(valid, ent, 0)
 
 
 def _bit_windows(words: jax.Array):
