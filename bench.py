@@ -385,8 +385,26 @@ def main() -> None:
 
     dec_tpu = dec_tpu_dev = 0.0
     try:
-        oi = zf.compress(data, level=LEVEL, format="gzip",
-                         chunk_bytes=CHUNK_BYTES, indexed=True)
+        # The indexed-encode compile is the bench's most wedge-prone
+        # graph on the tunneled platform; reuse a cached blob of this
+        # exact corpus when present (written below / by tools/chip_ab)
+        # so the decode numbers survive a flaky compile service. The
+        # decode itself CRC-verifies, so a stale blob fails loudly.
+        blob = "/tmp/ab_indexed.bin"
+        oi = None
+        try:
+            cached = open(blob, "rb").read()
+            if inflate_tpu.decompress_indexed(cached) == data:
+                oi = cached
+        except (OSError, ValueError):
+            pass
+        if oi is None:
+            oi = zf.compress(data, level=LEVEL, format="gzip",
+                             chunk_bytes=CHUNK_BYTES, indexed=True)
+            try:
+                open(blob, "wb").write(oi)
+            except OSError:
+                pass
         arr, n = inflate_tpu.decompress_indexed(oi, to_device=True)  # warm
         assert n == len(data)
         t0 = time.perf_counter()
