@@ -128,6 +128,34 @@ def test_corrupted_crc_detected():
         inflate_tpu.decompress_indexed(bytes(out))
 
 
+def test_walk_nolut_matches_lut_path():
+    """The LUT-free canonical walk decode (round 5) must be
+    output-identical to the (U, 2^15) LUT path on a mixed stream
+    (dynamic + fixed + stored chunks, matches crossing chunk seams)."""
+    import jax
+
+    rng = np.random.default_rng(9)
+    data = (
+        b"dyn text block " * 600
+        + rng.integers(0, 256, CHUNK, dtype=np.uint8).tobytes()
+        + b"ab"  # tiny tail chunk -> fixed tree
+    )
+    oi = zf.compress(data, level=6, format="gzip", chunk_bytes=CHUNK,
+                     indexed=True)
+    prev = inflate_tpu._WALK_NOLUT
+    try:
+        inflate_tpu._WALK_NOLUT = True
+        jax.clear_caches()
+        a = inflate_tpu.decompress_indexed(oi)
+        inflate_tpu._WALK_NOLUT = False
+        jax.clear_caches()
+        b = inflate_tpu.decompress_indexed(oi)
+    finally:
+        inflate_tpu._WALK_NOLUT = prev
+        jax.clear_caches()
+    assert a == b == data
+
+
 def test_multimember_with_indexed_first_member():
     # A valid gzip stream may append further members after the indexed
     # one; engine='tpu' must decode the indexed member from its own

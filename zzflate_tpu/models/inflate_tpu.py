@@ -101,6 +101,12 @@ _WALK_DEFER = os.environ.get("ZZFLATE_WALK_DEFER", "1") != "0"
 # G x n_out_pad elements) is measured on the chip; correctness is
 # equivalence-tested on CPU either way.
 _WALK_VMAP = os.environ.get("ZZFLATE_WALK_VMAP", "0") == "1"
+# LUT-free walk decode (round 5): canonical boundary-sum code lengths
+# from per-lane tables + closed-form attributes instead of materialized
+# (U, 2^15) LUTs — drops the LUT builds' ~4 full-width gathers per group
+# at the cost of ~60 extra fused elementwise ops per walk step.
+# ZZFLATE_WALK_NOLUT=0 restores the LUT path (A/B).
+_WALK_NOLUT = os.environ.get("ZZFLATE_WALK_NOLUT", "1") != "0"
 
 # Walk-path group caps (compressed body / decoded output per device
 # graph). Module-level so tests can shrink them to force multi-group
@@ -380,6 +386,94 @@ def _decode_bits(win_lo, win_hi, uid, ll_lut, d_lut):
     return step, outlen, sym, mdist, islit, islen & ~invalid, iseob & valid
 
 
+def _brev15_dyn(x):
+    """15-bit reversal of x's low 15 bits, elementwise (the in-kernel
+    form of the _brev15() table: reverse 16 bits, then drop the top)."""
+    x = x.astype(jnp.uint32) & jnp.uint32(0x7FFF)
+    x = ((x & jnp.uint32(0x5555)) << 1) | ((x >> 1) & jnp.uint32(0x5555))
+    x = ((x & jnp.uint32(0x3333)) << 2) | ((x >> 2) & jnp.uint32(0x3333))
+    x = ((x & jnp.uint32(0x0F0F)) << 4) | ((x >> 4) & jnp.uint32(0x0F0F))
+    x = ((x & jnp.uint32(0x00FF)) << 8) | ((x >> 8) & jnp.uint32(0x00FF))
+    return (x >> 1).astype(jnp.int32)
+
+
+def _canon_lane_tables(first, cnt, off, uid):
+    """Per-lane canonical decode tables, gathered ONCE per walk: the
+    monotone left-aligned range boundaries (hi), left-aligned first
+    codes (fsh) and symbol offsets per code length — all (lanes, 16).
+    Same closed form as _build_luts, without materializing (U, 2^15)
+    tables (whose ~2M-element symbol+attr gathers per group were the
+    largest non-walk decode cost; BASELINE.md round-4 LUT attribution)."""
+    ln_r = jnp.arange(16, dtype=jnp.int32)[None, :]
+    hi = (first + cnt) << (15 - ln_r)
+    hi_mono = jax.lax.cummax(hi, axis=1)
+    fsh = first << (15 - ln_r)
+    return hi_mono[uid], fsh[uid], off[uid]
+
+
+def _canon_symbol(v15, hi_lane, fsh_lane, off_lane, sym_flat, uid, nsym):
+    """Decode one canonical symbol per lane from the left-aligned window
+    value v15: code length by boundary sum (15 compares), symbol index
+    by offset arithmetic (one-hot selects — no per-step table gathers
+    beyond the final symbol lookup)."""
+    ln = jnp.int32(1) + sum(
+        (v15 >= hi_lane[:, L]).astype(jnp.int32) for L in range(1, 16)
+    )
+    valid = ln <= 15
+    lnc = jnp.clip(ln, 1, 15)
+    fsel = jnp.zeros_like(v15)
+    osel = jnp.zeros_like(v15)
+    for L in range(1, 16):
+        m = lnc == L
+        fsel = jnp.where(m, fsh_lane[:, L], fsel)
+        osel = jnp.where(m, off_lane[:, L], osel)
+    idx = osel + ((v15 - fsel) >> (15 - lnc))
+    sym = sym_flat[uid * nsym + jnp.clip(idx, 0, nsym - 1)]
+    return sym, lnc, valid
+
+
+def _decode_bits_canon(win_lo, win_hi, uid, llt, dt, ll_sym_flat,
+                       d_sym_flat):
+    """LUT-free _decode_bits: canonical boundary-sum code lengths from
+    per-lane tables + closed-form length/distance attributes. Decode
+    semantics are bit-for-bit those of the (U, 2^15) LUT path (same
+    validity/EOB/reserved-symbol handling), with two small symbol-table
+    gathers per step instead of two LUT gathers — and no LUT build."""
+    from zzflate_tpu.models.deflate_encoder import (
+        _dist_extra_base, _len_extra_base,
+    )
+
+    hi_l, fsh_l, off_l = llt
+    v = _brev15_dyn(win_lo)
+    sym, nb, lvalid = _canon_symbol(
+        v, hi_l, fsh_l, off_l, ll_sym_flat, uid, _MAX_LL
+    )
+    iseob = sym == 256
+    islen0 = (sym >= 257) & (sym <= 285)
+    valid = lvalid & (sym <= 285)
+    lext, lbase = _len_extra_base(jnp.clip(sym - 257, 0, 28))
+    lext = jnp.where(islen0, lext, 0)
+    mlen = lbase + _extract(win_lo, win_hi, nb, lext)
+    off2 = nb + lext
+
+    hi_d, fsh_d, off_d = dt
+    w2 = _extract(win_lo, win_hi, off2, jnp.int32(15))
+    vd = _brev15_dyn(w2)
+    dsym, dnb, dv = _canon_symbol(
+        vd, hi_d, fsh_d, off_d, d_sym_flat, uid, _MAX_D
+    )
+    dvalid = dv & (dsym < 30)
+    dext, dbase = _dist_extra_base(jnp.clip(dsym, 0, 29))
+    mdist = dbase + _extract(win_lo, win_hi, off2 + dnb, dext)
+
+    invalid = ~valid | (islen0 & ~dvalid)
+    width = jnp.where(islen0, off2 + dnb + dext, nb)
+    step = jnp.where(invalid | iseob, _HUGE, width)
+    islit = valid & ~iseob & ~islen0
+    outlen = jnp.where(islit, 1, jnp.where(islen0 & ~invalid, mlen, 0))
+    return step, outlen, sym, mdist, islit, islen0 & ~invalid, iseob & valid
+
+
 def _commit_walk(step, start_bits, unit_valid, max_sup_span):
     """Exact token-boundary commit via hierarchical serial sweeps.
 
@@ -647,13 +741,23 @@ def _walk_core(
     (identical scatters, so overlap is harmless) and deactivate at EOB
     or on invalid windows (corruption then surfaces as a CRC mismatch).
     """
-    ll_lut = _build_luts(
-        ll_first, ll_cnt, ll_off, ll_sym, jnp.asarray(_ll_attr()),
-        _MAX_LL, 10,
-    )
-    d_lut = _build_luts(
-        d_first, d_cnt, d_off, d_sym, jnp.asarray(_d_attr()), _MAX_D, 5
-    )
+    uid0 = jnp.clip(lane_uid, 0, ll_first.shape[0] - 1)
+    if _WALK_NOLUT:
+        # LUT-free decode: per-lane canonical tables (tiny one-time
+        # gathers) + closed-form attributes; skips the (U, 2^15) LUT
+        # builds entirely (~4 full-width gathers per group).
+        llt = _canon_lane_tables(ll_first, ll_cnt, ll_off, uid0)
+        dt = _canon_lane_tables(d_first, d_cnt, d_off, uid0)
+        ll_sym_flat = ll_sym.reshape(-1)
+        d_sym_flat = d_sym.reshape(-1)
+    else:
+        ll_lut = _build_luts(
+            ll_first, ll_cnt, ll_off, ll_sym, jnp.asarray(_ll_attr()),
+            _MAX_LL, 10,
+        )
+        d_lut = _build_luts(
+            d_first, d_cnt, d_off, d_sym, jnp.asarray(_d_attr()), _MAX_D, 5
+        )
     litval, start_mark, dist_at = _stage_out(
         prefix, stored_runs, words, n_out_pad, n_stored
     )
@@ -668,7 +772,7 @@ def _walk_core(
         0,
     )
     nw = words.shape[0]
-    uid = jnp.clip(lane_uid, 0, ll_first.shape[0] - 1)
+    uid = uid0
 
     def decode_step(p, o, active):
         """One token per active lane: (emit tgt, lit, dist, next p/o/active)."""
@@ -680,9 +784,16 @@ def _walk_core(
         inv = jnp.uint32(31) - s
         lo = (w0 >> s) | ((w1 << inv) << jnp.uint32(1))
         hi = (w1 >> s) | ((w2 << inv) << jnp.uint32(1))
-        stepw, outlen, sym, mdist, islit, islen, _eob = _decode_bits(
-            lo, hi, uid, ll_lut, d_lut
-        )
+        if _WALK_NOLUT:
+            stepw, outlen, sym, mdist, islit, islen, _eob = (
+                _decode_bits_canon(
+                    lo, hi, uid, llt, dt, ll_sym_flat, d_sym_flat
+                )
+            )
+        else:
+            stepw, outlen, sym, mdist, islit, islen, _eob = _decode_bits(
+                lo, hi, uid, ll_lut, d_lut
+            )
         emit = active & (islit | islen)
         tgt = jnp.where(emit, o, n_out_pad)
         lit = jnp.where(islit, sym, 0)
@@ -850,6 +961,17 @@ def _pow2(n: int) -> int:
     return 1 << max(0, (n - 1)).bit_length()
 
 
+def _lane_bucket(n: int) -> int:
+    """Walk-lane padding bucket: two buckets per octave (p and 3p/4)
+    instead of pow2 — the walk loop costs l_pad x t_steps lane-steps, so
+    a stream one lane over a pow2 boundary no longer pays 2x (round-4
+    verdict, decode item 3). Bounded compile count: <= 2 shapes/octave."""
+    p = _pow2(n)
+    if p >= 8 and n <= 3 * p // 4:
+        return 3 * p // 4
+    return p
+
+
 # ---------------------------------------------------------------------------
 # Public entry.
 # ---------------------------------------------------------------------------
@@ -880,6 +1002,8 @@ def decompress_indexed(
         "<II", data[member_len - 8 : member_len]
     )
     tail = data[member_len:]
+    if tail[:2] != b"\x1f\x8b":
+        tail = b""  # trailing garbage is tolerated (gzip(1)/host-path behavior)
     nchunks = len(chunks)
     total_out = isize
     # Validate the (untrusted) index before any of it parameterizes device
@@ -978,6 +1102,18 @@ def decompress_indexed(
                         if k < 0:
                             continue  # anchor before any token: bogus
                         lanes.append((bit, outbase + ao, ulo + k))
+            if lanes:
+                # A crafted 'ZZ' index can place an anchor exactly on a
+                # block-first token; duplicate (bit, out) lanes would break
+                # the non-defer walk's unique-index scatter promise. Dedupe
+                # host-side (first occurrence wins; duplicates are
+                # bit-identical walks anyway).
+                seen: set[tuple[int, int]] = set()
+                lanes = [
+                    ln for ln in lanes
+                    if (ln[0], ln[1]) not in seen
+                    and not seen.add((ln[0], ln[1]))
+                ]
             plans.append((glo, ghi, units, sruns, lanes))
             max_units = max(max_units, len(units))
             max_stored = max(max_stored, len(sruns))
@@ -1008,7 +1144,7 @@ def decompress_indexed(
         nw = (body_cap if multi else _pow2(max(64, max_body))) // 4 + 2
     else:
         nw = nbits // 32 + 2
-    l_pad = _pow2(max_lanes)
+    l_pad = _lane_bucket(max_lanes)
     t_steps = anchor_tokens + 2  # spacing + EOB + slack
 
     from zzflate_tpu.ops import checksums as cs
@@ -1271,6 +1407,8 @@ def decompress_foreign(
             "<II", data[member_end - 8 : member_end]
         )
         tail = data[member_end:]
+        if tail[:2] != b"\x1f\x8b":
+            tail = b""  # trailing garbage tolerated (gzip(1)/host-path behavior)
         if isize != (total_out & 0xFFFFFFFF):
             raise ValueError("isize mismatch (TPU inflate)")
     if total_out > (1 << 30):
@@ -1374,7 +1512,7 @@ def decompress_foreign(
     u_pad = _pow2(max_units)
     n_stored = _pow2(max_stored) if max_stored else 0
     nw = (body_cap if multi else _pow2(max(64, max_body))) // 4 + 2
-    l_pad = _pow2(max_lanes)
+    l_pad = _lane_bucket(max_lanes)
     t_steps = T + 2
 
     from zzflate_tpu.ops import checksums as cs
