@@ -113,7 +113,7 @@ def test_compact_fetch_byte_identical(monkeypatch):
     """ZZFLATE_COMPACT_FETCH concatenates used words on device and fetches
     exact sizes; the stitched stream must be byte-identical to the padded
     per-chunk fetch path (api.finish reads the same word prefixes)."""
-    from zzflate_tpu import api
+    from zzflate_tpu import encode_pipeline as api
 
     data = _mixed_data(60000, seed=11)
     monkeypatch.setattr(api, "_COMPACT", False)
@@ -135,7 +135,7 @@ def test_compact_fetch_skips_stored_chunks(monkeypatch):
     including the boundary chunks around the incompressible region and a
     final incompressible chunk (different keep threshold: no sync-flush
     marker)."""
-    from zzflate_tpu import api
+    from zzflate_tpu import encode_pipeline as api
 
     rng = np.random.default_rng(77)
     noise = rng.integers(0, 256, size=3 * CHUNK, dtype=np.uint8).tobytes()

@@ -543,10 +543,184 @@ def analyze_chunks_batch(data, starts, valid_ends, window_starts, params,
     return out
 
 
+def token_budget(chunk_bytes: int) -> int:
+    """Static token-slot count for the compact emit graph: half the
+    position width. A chunk with more committed tokens than this (avg
+    token covers < 2 bytes — data that barely LZ-compresses) is routed
+    to the full-width emit graph by the host instead."""
+    return (_WIN + chunk_bytes) // 2
+
+
+def _emit_compact(
+    committed, is_match, litlen_sym, lcode, dcode, mlen, mdist,
+    ll_len, ll_code, d_len, d_code, hdr_vals, hdr_nbits, eob_v, eob_nb,
+    out_words, with_anchors, wc,
+):
+    """Token-compacted emit (see _emit_impl docstring, token_slots > 0).
+
+    Layout: one full-width scatter builds tokpos (committed position of
+    every dense token slot); two half-width gathers fetch the per-token
+    fields as two packed ints; every later pass (table gathers, bit
+    cumsum, three-word scatter-pack, anchors) runs at token width."""
+    n = committed.shape[0]
+    sb = ll_len.shape[0]
+    bounds = sub_block_bounds(n)
+    pos = jnp.arange(n, dtype=jnp.int32)
+
+    com_i = committed.astype(jnp.int32)
+    ctok = jnp.cumsum(com_i)               # inclusive committed count
+    excl_tok = ctok - com_i                # dense slot of the token at p
+    ntokens = ctok[n - 1]
+
+    slot = jnp.where(committed, excl_tok, wc)
+    tokpos = jnp.full((wc,), n, jnp.int32).at[slot].set(pos, mode="drop")
+
+    # Packed per-position fields: pk1 = sym|lcode|dcode|is_match|committed
+    # (21 bits), pk2 = mlen|mdist (25 bits) — two gathers, not seven.
+    pk1 = (
+        litlen_sym
+        | (lcode << 9)
+        | (dcode << 14)
+        | (is_match.astype(jnp.int32) << 19)
+        | (com_i << 20)
+    )
+    pk2 = (mlen << 16) | mdist
+    g1 = jnp.take(pk1, tokpos, mode="fill", fill_value=0)
+    g2 = jnp.take(pk2, tokpos, mode="fill", fill_value=0)
+    c_sym = g1 & 0x1FF
+    c_lcode = (g1 >> 9) & 0x1F
+    c_dcode = (g1 >> 14) & 0x1F
+    c_ism = ((g1 >> 19) & 1) == 1
+    c_com = ((g1 >> 20) & 1) == 1
+    c_mlen = g2 >> 16
+    c_mdist = g2 & 0xFFFF
+
+    c_tb = jnp.zeros((wc,), jnp.int32)
+    for b in range(1, sb):
+        c_tb = c_tb + (tokpos >= bounds[b]).astype(jnp.int32)
+
+    lsym_safe = jnp.clip(c_sym, 0, C.NUM_LITLEN_SYMBOLS - 1)
+    dsym_safe = jnp.clip(c_dcode, 0, C.NUM_DIST_SYMBOLS - 1)
+    ll_pack = ll_code.astype(jnp.uint32) | (ll_len.astype(jnp.uint32) << 20)
+    d_pack = d_code.astype(jnp.uint32) | (d_len.astype(jnp.uint32) << 20)
+    e0 = ll_pack[c_tb, lsym_safe]
+    f0_v = e0 & jnp.uint32(0xFFFFF)
+    f0_b = jnp.where(c_com, (e0 >> 20).astype(jnp.int32), 0)
+    e2 = d_pack[c_tb, dsym_safe]
+    f2_v = e2 & jnp.uint32(0xFFFFF)
+    f2_b = jnp.where(c_ism, (e2 >> 20).astype(jnp.int32), 0)
+    lext, lbase = _len_extra_base(c_lcode)
+    f1_v = (c_mlen - lbase).astype(jnp.uint32)
+    f1_b = jnp.where(c_ism, lext, 0)
+    dext, dbase = _dist_extra_base(dsym_safe)
+    f3_v = (c_mdist - dbase).astype(jnp.uint32)
+    f3_b = jnp.where(c_ism, dext, 0)
+
+    # 48-bit field merge — identical math to the full-width path.
+    def _mask(v, b):
+        return v.astype(jnp.uint32) & (
+            (jnp.uint32(1) << b.astype(jnp.uint32)) - 1
+        )
+
+    f0m = _mask(f0_v, f0_b)
+    f1m = _mask(f1_v, f1_b)
+    f2m = _mask(f2_v, f2_b)
+    f3m = _mask(f3_v, f3_b)
+    m0_v = f0m | (f1m << f0_b.astype(jnp.uint32))
+    m0_b = f0_b + f1_b
+    m1_v = f2m | (f3m << f2_b.astype(jnp.uint32))
+    m1_b = f2_b + f3_b
+    m0u = m0_b.astype(jnp.uint32)
+    lo48 = m0_v | (m1_v << m0u)
+    hi48 = (m1_v >> (jnp.uint32(31) - m0u)) >> jnp.uint32(1)
+
+    tw = (m0_b + m1_b).astype(jnp.int32)
+    cum = jnp.cumsum(tw)
+    excl = cum - tw
+    hdr_tot = jnp.sum(hdr_nbits, axis=1).astype(jnp.int32)  # (SB,)
+    eob_b32 = eob_nb.astype(jnp.int32)
+
+    # Slot id of the first token at/after each sub-block boundary.
+    nb4 = jnp.stack([excl_tok[bounds[b]] for b in range(sb)])
+    cum_pad = jnp.concatenate([excl, cum[-1:]])  # [wc] = total token bits
+    nb4c = jnp.clip(nb4, 0, wc)
+    S = cum_pad[nb4c]
+    total_tok = cum[wc - 1]
+    T = jnp.concatenate([S[1:], total_tok[None]]) - S
+    seg = hdr_tot + T + eob_b32
+    hdr_base = jnp.cumsum(seg) - seg
+    total_bits = hdr_base[sb - 1] + seg[sb - 1]
+    sb_bits = hdr_base
+
+    add = jnp.zeros((), jnp.int32)
+    for b in range(sb):
+        const_b = hdr_base[b] + hdr_tot[b] - S[b]
+        add = jnp.where(tokpos >= bounds[b], const_b, add)
+    off0 = excl + add
+
+    words = jnp.zeros((out_words,), jnp.uint32)
+    words = bitpack.scatter_field48(words, off0, lo48, hi48, tw, out_words)
+    hdr_off = (
+        jnp.cumsum(hdr_nbits, axis=1) - hdr_nbits + hdr_base[:, None]
+    )
+    eob_off = hdr_base + hdr_tot + T
+    words = bitpack.scatter_fields(
+        words, hdr_off.reshape(-1), hdr_vals.reshape(-1).astype(jnp.uint32),
+        hdr_nbits.reshape(-1), out_words,
+    )
+    words = bitpack.scatter_fields(
+        words, eob_off, eob_v.astype(jnp.uint32), eob_b32, out_words
+    )
+
+    outlen = jnp.where(
+        c_ism, c_mlen, jnp.where(c_com, 1, 0)
+    ).astype(jnp.int32)
+    outc = jnp.cumsum(outlen)
+    out_excl_c = outc - outlen
+    out_pad = jnp.concatenate([out_excl_c, outc[-1:]])
+    sb_out = out_pad[nb4c]
+
+    a_total = sb * _A_PB
+    if with_anchors:
+        slot_idx = jnp.arange(wc, dtype=jnp.int32)
+        csub = jnp.zeros((), jnp.int32)
+        for b in range(sb):
+            csub = jnp.where(tokpos >= bounds[b], nb4[b], csub)
+        o_b = slot_idx - csub
+        t_anchor = C.ANCHOR_TOKENS
+        is_anchor = c_com & (o_b > 0) & (o_b % t_anchor == 0)
+        aslot = jnp.where(
+            is_anchor, c_tb * _A_PB + (o_b // t_anchor - 1), a_total
+        )
+        anc_bit = jnp.full((a_total,), -1, jnp.int32).at[aslot].set(
+            off0, mode="drop"
+        )
+        anc_out = jnp.full((a_total,), -1, jnp.int32).at[aslot].set(
+            out_excl_c, mode="drop"
+        )
+    else:
+        anc_bit = jnp.full((a_total,), -1, jnp.int32)
+        anc_out = jnp.full((a_total,), -1, jnp.int32)
+
+    # Defense in depth: a chunk that overflowed its token budget (host
+    # gating bug) must never ship a truncated stream — poison nbits so
+    # the stitcher's stored fallback wins and keep_bits_max zeroes it.
+    total_bits = jnp.where(ntokens > wc, jnp.int32(1 << 30), total_bits)
+    return {
+        "words": words,
+        "nbits": total_bits,
+        "ntokens": ntokens,
+        "sb_bits": sb_bits,
+        "sb_out": sb_out,
+        "anc_bit": anc_bit,
+        "anc_out": anc_out,
+    }
+
+
 def _emit_impl(
     committed, is_match, litlen_sym, lcode, dcode, mlen, mdist,
     ll_len, ll_code, d_len, d_code, hdr_vals, hdr_nbits, eob_v, eob_nb,
-    out_words=None, with_anchors=False,
+    out_words=None, with_anchors=False, token_slots=0,
 ):
     """Phase 2: pack the phase-1 token arrays with host-built tables.
 
@@ -555,11 +729,32 @@ def _emit_impl(
     interleaves [hdr_b, tokens of sub-block b, EOB_b]; the host merges
     similar adjacent sub-blocks into one deflate block by zeroing the
     interior header/EOB widths (huffman_host.build_chunk_plan).
+
+    token_slots > 0 switches on TOKEN COMPACTION: one full-width scatter
+    collects the committed positions into `token_slots` dense slots and
+    every remaining emit pass (table gathers, offset cumsum, the
+    three-word scatter-pack) runs at token width instead of position
+    width. On the target chip gather/scatter cost is per-ELEMENT
+    (~5-10 ns each, BASELINE.md round-4 attribution), so halving the hot
+    widths halves the emit wall. Bit-identical to the full-width path
+    (the scattered fields are the same values at the same offsets).
+    The caller must guarantee ntokens <= token_slots per chunk (the host
+    checks sum(freq_ll) before picking this graph); if the guarantee is
+    ever violated the chunk's nbits is poisoned to 2^30-ish so the
+    stitcher takes its stored fallback instead of a truncated stream.
     """
     n = committed.shape[0]
     sb = ll_len.shape[0]
     bounds = sub_block_bounds(n)
     pos = jnp.arange(n, dtype=jnp.int32)
+
+    if token_slots:
+        return _emit_compact(
+            committed, is_match, litlen_sym, lcode, dcode, mlen, mdist,
+            ll_len, ll_code, d_len, d_code, hdr_vals, hdr_nbits,
+            eob_v, eob_nb, out_words, with_anchors, token_slots,
+        )
+
     tb = jnp.zeros((n,), jnp.int32)
     for b in range(1, sb):
         tb = tb + (pos >= bounds[b]).astype(jnp.int32)
@@ -698,12 +893,13 @@ def _emit_impl(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("out_words", "with_anchors", "compact")
+    jax.jit,
+    static_argnames=("out_words", "with_anchors", "compact", "token_slots"),
 )
 def emit_chunks_batch(
     analysis, out_words,
     ll_len, ll_code, d_len, d_code, hdr_vals, hdr_nbits, eob_v, eob_nb,
-    keep_bits_max=None, with_anchors=False, compact=False,
+    keep_bits_max=None, with_anchors=False, compact=False, token_slots=0,
 ):
     """Phase 2, batched: consumes the phase-1 output dict directly.
 
@@ -722,7 +918,8 @@ def emit_chunks_batch(
     threshold is computed host-side to replicate the stitcher's
     stored-vs-huffman byte comparison exactly."""
     fn = functools.partial(
-        _emit_impl, out_words=out_words, with_anchors=with_anchors
+        _emit_impl, out_words=out_words, with_anchors=with_anchors,
+        token_slots=token_slots,
     )
     out = jax.vmap(fn)(
         analysis["committed"], analysis["is_match"], analysis["litlen_sym"],

@@ -310,7 +310,12 @@ def find_matches(
     # mlen[p] = (a-p) + mlen[a] exactly (never an overestimate; positions
     # whose distance differs from their anchor's keep the scan's
     # key_bytes-capped length — a rare, safe underestimate).
-    stride = 16
+    # Anchor stride for the extension ladder/tail: the ~40 strided
+    # gathers below run at n/stride width, so doubling the stride halves
+    # the matcher's extension cost (~80 ms/4 MiB at stride 16 per the
+    # round-4 attribution). Ratio cost of coarser anchors is measured on
+    # CPU before changing the default (sizes are platform-independent).
+    stride = int(os.environ.get("ZZFLATE_EXT_STRIDE", "16"))
     use_anchors = key_bytes >= 2 * stride and n % stride == 0
     if use_anchors:
         nq = n // stride
