@@ -18,15 +18,26 @@ import subprocess
 import sys
 
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-BLOB = "/tmp/ab_indexed.bin"
+sys.path.insert(0, HERE)
+import tempfile
+
+import bench as _bench  # noqa: E402  (for the shared cache key)
+
+# Same cache key bench.py uses (corpus size, chunking, level, per-user),
+# so a blob encoded here is reused by the bench's decode section.
+BLOB = os.path.join(
+    tempfile.gettempdir(),
+    f"zzflate_bench_{os.getuid()}_{_bench.TARGET_BYTES}_"
+    f"{_bench.CHUNK_BYTES}_{_bench.LEVEL}.gz",
+)
 
 ENC_BODY = r"""
 import sys, zlib
 sys.path.insert(0, %(here)r)
 import bench, zzflate_tpu as zf
 data = bench.build_corpus()
-oi = zf.compress(data, level=6, format="gzip", chunk_bytes=1 << 18,
-                 indexed=True)
+oi = zf.compress(data, level=bench.LEVEL, format="gzip",
+                 chunk_bytes=bench.CHUNK_BYTES, indexed=True)
 assert zlib.decompress(oi, wbits=31) == data
 open(%(blob)r, "wb").write(oi)
 print("encoded", len(oi))
@@ -71,14 +82,42 @@ def main():
             {}, timeout=2400)
     if not os.path.exists(BLOB):
         return  # encode wedged; cells next window
+    # Round-5 cells: LUT-free walk decode, token-compacted emit,
+    # extension stride, compiled Pallas parse — each in its own
+    # subprocess (env flags are baked at trace time; jit caches don't
+    # key on them).
     for cell, env in (
-        ("dec packed vmap=0 defer=1", {"ZZFLATE_WALK_VMAP": "0"}),
-        ("dec packed vmap=1 defer=1", {"ZZFLATE_WALK_VMAP": "1"}),
-        ("dec packed vmap=0 defer=0",
-         {"ZZFLATE_WALK_VMAP": "0", "ZZFLATE_WALK_DEFER": "0"}),
+        ("dec nolut=1", {"ZZFLATE_WALK_NOLUT": "1"}),
+        ("dec nolut=0", {"ZZFLATE_WALK_NOLUT": "0"}),
     ):
         run(cell, DEC_BODY % {"here": HERE, "blob": BLOB, "cell": cell},
             dict(env, ZZFLATE_WALK_UNROLL="1"), timeout=1500)
+    for cell, env in (
+        ("enc default (compact_tokens+prop)", {}),
+        ("enc compact_tokens=0", {"ZZFLATE_COMPACT_TOKENS": "0"}),
+        ("enc ext_stride=32", {"ZZFLATE_EXT_STRIDE": "32"}),
+        ("enc pallas_parse=1", {"ZZFLATE_PALLAS_PARSE": "1"}),
+    ):
+        run(cell, ENCT_BODY % {"here": HERE, "cell": cell}, env,
+            timeout=2400)
+
+
+ENCT_BODY = r"""
+import sys, time, json, zlib
+sys.path.insert(0, %(here)r)
+import bench, zzflate_tpu as zf
+data = bench.build_corpus()
+out = zf.compress(data, level=6, format="gzip",
+                  chunk_bytes=bench.CHUNK_BYTES)
+assert zlib.decompress(out, wbits=31) == data
+best = 9e9
+for _ in range(2):
+    t0 = time.perf_counter()
+    zf.compress(data, level=6, format="gzip", chunk_bytes=bench.CHUNK_BYTES)
+    best = min(best, time.perf_counter() - t0)
+print(json.dumps({"cell": %(cell)r,
+                  "enc_MBps": round(len(data) / 1e6 / best, 2)}))
+"""
 
 
 if __name__ == "__main__":

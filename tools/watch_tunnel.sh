@@ -40,6 +40,19 @@ while true; do
       log "running bench.py"
       timeout 3000 python bench.py > "$OUT/bench_$ts.out" 2> "$OUT/bench_$ts.err"
       log "bench rc=$? -> $OUT/bench_$ts.out"
+      # Indexed-encode compile probe (round-4 verdict item 7): the bench
+      # decode section reuses a cached blob, so exercise the wedge-prone
+      # indexed-emit graph explicitly each window on a small corpus.
+      log "probing indexed-encode compile"
+      timeout 1500 python -c '
+import sys, zlib; sys.path.insert(0, ".")
+import bench, zzflate_tpu as zf
+data = bench.build_corpus(2 << 20)
+oi = zf.compress(data, level=6, format="gzip", chunk_bytes=1 << 18,
+                 indexed=True)
+assert zlib.decompress(oi, wbits=31) == data
+print("indexed-encode ok", len(oi))' > "$OUT/idx_$ts.out" 2>&1
+      log "indexed-encode probe rc=$? -> $OUT/idx_$ts.out"
       if [ -e "$OUT/need_ab" ]; then
         log "running chip_ab.py"
         timeout 3600 python tools/chip_ab.py > "$OUT/ab_$ts.out" 2> "$OUT/ab_$ts.err"

@@ -303,7 +303,9 @@ def adler32(data: bytes, value: int = 1) -> int:
         import zlib
 
         return zlib.adler32(data, value)
-    return int(L.zzt_adler32(value, data, len(data)))
+    if not isinstance(data, bytes):
+        data = bytes(data)  # c_char_p rejects bytearray/memoryview; stdlib
+    return int(L.zzt_adler32(value, data, len(data)))  # zlib accepts any buffer
 
 
 def crc32(data: bytes, value: int = 0) -> int:
@@ -312,6 +314,8 @@ def crc32(data: bytes, value: int = 0) -> int:
         import zlib
 
         return zlib.crc32(data, value)
+    if not isinstance(data, bytes):
+        data = bytes(data)  # see adler32: keep the stdlib buffer contract
     return int(L.zzt_crc32(value, data, len(data)))
 
 

@@ -13,10 +13,13 @@ scheme lifted one level:
   zlib/gzip member, identical to what a single host would produce with
   the same chunking.
 
-Collectives use jax.experimental.multihost_utils (allgather of sizes,
-then of padded payload bytes) — DCN-level traffic is exactly the
-compressed bytes plus O(hosts) metadata. Runs degenerate (and is tested)
-at process_count() == 1; on a real pod slice call initialize() first.
+Small metadata (sizes, checksums, halo tails) moves via
+jax.experimental.multihost_utils allgathers; the ragged payload bytes
+move point-to-point to process 0 via jax.experimental.transfer pulls —
+aggregate DCN traffic O(total compressed bytes) — with a coordinated
+slab-allgather fallback on platforms without the transfer API
+(_gather_payloads_to_root). Runs degenerate (and is tested) at
+process_count() == 1; on a real pod slice call initialize() first.
 """
 from __future__ import annotations
 
@@ -54,6 +57,113 @@ def _allgather_np(arr: np.ndarray) -> np.ndarray:
     from jax.experimental import multihost_utils
 
     return np.asarray(multihost_utils.process_allgather(arr))
+
+
+_PULL_UUID = 0x5A7A0000  # transfer-gather request ids: _PULL_UUID + pid
+
+
+def _gather_payloads_to_root(
+    payload: bytes, metas: np.ndarray, pid: int, nproc: int
+) -> list[bytes] | None:
+    """Collect every host's ragged payload on process 0.
+
+    Preferred path: `jax.experimental.transfer` point-to-point pulls —
+    every host publishes its payload once and process 0 pulls each
+    directly, so aggregate DCN traffic is O(total payload) (the
+    round-4 verdict's gather-to-root). Hosts whose PJRT client lacks
+    the transfer API (e.g. the AOT-proxy CPU client used by the CI
+    mesh) agree via an allgathered flag to use the fallback: a
+    symmetric slab allgather, aggregate O(hosts x total) on the wire
+    but still O(slab) peak memory per non-root host.
+
+    Returns the per-host payload list on process 0, None elsewhere.
+    """
+    if nproc == 1:
+        return [payload] if pid == 0 else None
+
+    import jax.numpy as jnp
+
+    srv = arr = None
+    ok = 0
+    try:
+        from jax.experimental import transfer
+
+        dev = jax.local_devices()[0]
+        srv = transfer.start_transfer_server(dev.client)
+        arr = jnp.asarray(np.frombuffer(payload, np.uint8))
+        # Probe the client's async-transfer support with a self-pull of
+        # a tiny array BEFORE committing the fleet to this path.
+        from jax.sharding import SingleDeviceSharding
+
+        probe = jnp.zeros((1,), jnp.uint8)
+        srv.await_pull(_PULL_UUID - 1, [probe])
+        srv.connect(srv.address()).pull(
+            _PULL_UUID - 1,
+            [jax.ShapeDtypeStruct((1,), np.uint8,
+                                  sharding=SingleDeviceSharding(dev))],
+        )
+        ok = 1
+    except Exception:
+        ok = 0
+
+    addr = (srv.address() if ok else "").encode()[:128]
+    a = np.zeros(132, np.uint8)
+    a[: len(addr)] = np.frombuffer(addr, np.uint8)
+    a[128:] = np.frombuffer(
+        np.array([len(addr) * 2 + ok], np.uint32).tobytes(), np.uint8
+    )
+    cards = _allgather_np(a)
+    flags = [
+        int(np.frombuffer(cards[i, 128:].tobytes(), np.uint32)[0])
+        for i in range(nproc)
+    ]
+    use_p2p = all(f & 1 for f in flags)
+
+    if use_p2p:
+        from jax.sharding import SingleDeviceSharding
+
+        if pid != 0:
+            srv.await_pull(_PULL_UUID + pid, [arr])
+            # Hold the staged array until root confirms completion.
+            _allgather_np(np.zeros(1, np.uint8))
+            return None
+        dev = jax.local_devices()[0]
+        out: list[bytes] = []
+        for i in range(nproc):
+            if i == 0:
+                out.append(payload)
+                continue
+            alen = flags[i] >> 1
+            address = cards[i, :alen].tobytes().decode()
+            conn = srv.connect(address)
+            sds = jax.ShapeDtypeStruct(
+                (int(metas[i, 0]),), np.uint8,
+                sharding=SingleDeviceSharding(dev),
+            )
+            out.append(np.asarray(conn.pull(_PULL_UUID + i, [sds])[0])
+                       .tobytes())
+        _allgather_np(np.zeros(1, np.uint8))  # release peers
+        return out
+
+    # Fallback: symmetric slab allgather. Only process 0 accumulates
+    # (non-root peak is O(slab)); wire traffic is O(hosts x total).
+    max_len = int(metas[:, 0].max())
+    SLAB = 4 << 20
+    rounds = max(1, -(-max_len // SLAB))
+    acc = [bytearray() for _ in range(nproc)] if pid == 0 else None
+    for r in range(rounds):
+        slab = np.zeros(SLAB, np.uint8)
+        piece = payload[r * SLAB : (r + 1) * SLAB]
+        if piece:
+            slab[: len(piece)] = np.frombuffer(piece, np.uint8)
+        got = _allgather_np(slab)
+        if pid == 0:
+            for i in range(nproc):
+                take = min(SLAB, int(metas[i, 0]) - r * SLAB)
+                if take > 0:
+                    acc[i] += got[i, :take].tobytes()
+        del got
+    return [bytes(p) for p in acc] if pid == 0 else None
 
 
 def compress_multihost(
@@ -105,35 +215,17 @@ def compress_multihost(
     adler = containers.combine_adler(list(zip(res["adler"], lens)))
     crc = containers.combine_crc(list(zip(res["crc"], lens)))
 
-    # Gather ragged payloads: sizes first, then the bytes in bounded
-    # slabs. Only process 0 accumulates (every other host's peak is
-    # O(hosts x slab), not O(hosts x max_payload)); the collective is
-    # still a symmetric allgather because JAX has no gather-to-root —
-    # non-roots drop each slab immediately.
+    # Gather ragged payloads to process 0: sizes first, then the bytes
+    # point-to-point (preferred) or in bounded allgather slabs (fallback).
     meta = np.array(
         [len(payload), len(local_data), adler, crc], np.int64
     )
     metas = _allgather_np(meta)
-    max_len = int(metas[:, 0].max())
-    SLAB = 4 << 20
-    rounds = max(1, -(-max_len // SLAB))
-    per_host = [bytearray() for _ in range(nproc)] if pid == 0 else None
-    for r in range(rounds):
-        slab = np.zeros(SLAB, np.uint8)
-        piece = payload[r * SLAB : (r + 1) * SLAB]
-        if piece:
-            slab[: len(piece)] = np.frombuffer(piece, np.uint8)
-        got = _allgather_np(slab)
-        if pid == 0:
-            for i in range(nproc):
-                take = min(SLAB, int(metas[i, 0]) - r * SLAB)
-                if take > 0:
-                    per_host[i] += got[i, :take].tobytes()
-        del got
+    per_host = _gather_payloads_to_root(payload, metas, pid, nproc)
 
     if pid != 0:
         return None
-    full_payload = b"".join(bytes(p) for p in per_host)
+    full_payload = b"".join(per_host)
     total_len = int(metas[:, 1].sum())
     full_adler, full_crc = 1, 0
     for i in range(nproc):
