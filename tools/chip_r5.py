@@ -41,7 +41,7 @@ def main():
 
     B, CH = 16, 1 << 18
     N = 32768 + CH
-    raw = (open("/usr/bin/python3.12", "rb").read() * 4)[: B * CH]
+    raw = (open("/usr/bin/python3.11", "rb").read() * 8)[: B * CH]
     data = np.zeros((B, N), np.uint8)
     for b in range(B):
         data[b, 32768:] = np.frombuffer(raw[b * CH : (b + 1) * CH], np.uint8)

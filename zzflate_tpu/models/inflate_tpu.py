@@ -774,11 +774,15 @@ def _walk_core(
     nw = words.shape[0]
     uid = uid0
 
-    def decode_step(p, o, active):
-        """One token per active lane: (emit tgt, lit, dist, next p/o/active)."""
+    def decode_step(p, o, active, c0, c1, c2, wi_prev):
+        """One token per active lane: (emit tgt, lit, dist, next p/o/active,
+        new word cache). A token is <= 48 bits, so the window's base word
+        advances by at most 2 per step — the first window word always
+        comes from the carried cache (2 word gathers per step, not 3)."""
         wi = jnp.clip(p >> 5, 0, nw - 3)
         s = (p & 31).astype(jnp.uint32)
-        w0 = words[wi]
+        delta = wi - wi_prev
+        w0 = jnp.where(delta == 0, c0, jnp.where(delta == 1, c1, c2))
         w1 = words[wi + 1]
         w2 = words[wi + 2]
         inv = jnp.uint32(31) - s
@@ -801,10 +805,12 @@ def _walk_core(
         o = o + jnp.where(emit, outlen, 0)
         ok = stepw <= 48  # EOB/invalid decode as _HUGE: lane is done
         p = p + jnp.where(active & ok, stepw, 0)
-        return tgt, lit, dst, p, o, active & ok
+        return tgt, lit, dst, p, o, active & ok, (w0, w1, w2, wi)
 
     p0 = jnp.where(lane_valid, lane_bit, 0)
     o0 = jnp.where(lane_valid, lane_out, n_out_pad)
+    wi0 = jnp.clip(p0 >> 5, 0, nw - 3)
+    cache0 = (words[wi0], words[wi0 + 1], words[wi0 + 2], wi0)
     lcount = lane_bit.shape[0]
 
     def pack_of(lit, dst, emit):
@@ -812,8 +818,10 @@ def _walk_core(
 
     if defer:
         def step(t, state):
-            rec_tgt, rec_pack, p, o, active = state
-            tgt, lit, dst, p, o, active = decode_step(p, o, active)
+            rec_tgt, rec_pack, p, o, active, cache = state
+            tgt, lit, dst, p, o, active, cache = decode_step(
+                p, o, active, *cache
+            )
             rec_tgt = jax.lax.dynamic_update_slice(
                 rec_tgt, tgt[None, :], (t, 0)
             )
@@ -821,14 +829,14 @@ def _walk_core(
                 rec_pack, pack_of(lit, dst, tgt < n_out_pad)[None, :],
                 (t, 0),
             )
-            return rec_tgt, rec_pack, p, o, active
+            return rec_tgt, rec_pack, p, o, active, cache
 
-        rec_tgt, rec_pack, _, _, _ = jax.lax.fori_loop(
+        rec_tgt, rec_pack, _, _, _, _ = jax.lax.fori_loop(
             0, t_steps, step,
             (
                 jnp.full((t_steps, lcount), n_out_pad, jnp.int32),
                 jnp.zeros((t_steps, lcount), jnp.int32),
-                p0, o0, lane_valid,
+                p0, o0, lane_valid, cache0,
             ),
             unroll=_WALK_UNROLL,
         )
@@ -844,18 +852,20 @@ def _walk_core(
         )
 
         def step(t, state):
-            packed_w, p, o, active = state
-            tgt, lit, dst, p, o, active = decode_step(p, o, active)
+            packed_w, p, o, active, cache = state
+            tgt, lit, dst, p, o, active, cache = decode_step(
+                p, o, active, *cache
+            )
             emit = tgt < n_out_pad
             idx = jnp.where(emit, tgt, lane_sink)
             packed_w = packed_w.at[idx].max(
                 pack_of(lit, dst, emit), unique_indices=True
             )
-            return packed_w, p, o, active
+            return packed_w, p, o, active, cache
 
-        packed_w, _, _, _ = jax.lax.fori_loop(
+        packed_w, _, _, _, _ = jax.lax.fori_loop(
             0, t_steps, step,
-            (packed_w, p0, o0, lane_valid),
+            (packed_w, p0, o0, lane_valid, cache0),
             unroll=_WALK_UNROLL,
         )
         packed = packed_w[:n_out_pad]

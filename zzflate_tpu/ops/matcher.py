@@ -450,12 +450,25 @@ _ROW = int(os.environ.get("ZZFLATE_ROW", "512"))
 if _ROW <= MAX_MATCH:
     raise ValueError("ZZFLATE_ROW must exceed 258")
 
-# Fused Pallas row-sweep parse (pallas_kernels.parse_rows): "1" = compiled
-# (TPU), "i" = interpret mode (CPU tests), unset/0 = the XLA sweeps.
+# Fused Pallas row-sweep parse (pallas_kernels.parse_rows): "1" = compiled,
+# "i" = interpret mode (CPU tests), "0" = the XLA sweeps, unset = AUTO
+# (compiled kernel on real TPUs, XLA sweeps on CPU — interpret mode is
+# slower than XLA there). Round-5 chip measurement: 157 vs 261 ms per
+# (16, 294912) batch at 25% match density, identical marks.
 _PALLAS_PARSE = os.environ.get("ZZFLATE_PALLAS_PARSE", "")
 if _PALLAS_PARSE not in ("", "0", "1", "i"):
     raise ValueError("ZZFLATE_PALLAS_PARSE must be '', '0', '1' or 'i'")
-_PALLAS_PARSE = _PALLAS_PARSE if _PALLAS_PARSE in ("1", "i") else ""
+
+
+def _parse_mode() -> str:
+    """Effective parse implementation ('' = XLA sweeps)."""
+    if _PALLAS_PARSE in ("1", "i"):
+        return _PALLAS_PARSE
+    if _PALLAS_PARSE == "0":
+        return ""
+    if _ROW % 128:  # kernel constraint; custom ZZFLATE_ROW keeps XLA
+        return ""
+    return "1" if (_USE_PALLAS and jax.default_backend() != "cpu") else ""
 
 
 @functools.partial(jax.jit, static_argnames=("lazy",))
@@ -492,12 +505,13 @@ def parse_commit_batch(
         step = jnp.pad(step, ((0, 0), (0, npad - n)), constant_values=1)
     rows_per = npad // _ROW
 
-    if _PALLAS_PARSE:
+    mode = _parse_mode()
+    if mode:
         from zzflate_tpu.ops import pallas_kernels as pk
 
         mark = pk.parse_rows(
             step, starts.astype(jnp.int32), _ROW,
-            interpret=_PALLAS_PARSE == "i",
+            interpret=mode == "i",
         )
         committed = mark[:, :n] == 1
         posn = jnp.arange(n, dtype=jnp.int32)[None, :]

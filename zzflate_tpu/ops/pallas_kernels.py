@@ -350,8 +350,12 @@ def _parse2_kernel(starts_ref, step_ref, mark_ref, ex_ref, *, rows_per, row):
     active0 = (entries < _SINK) & (j0 >= 0) & (j0 < row)
     marks = [jnp.zeros((rows_per, _LANES), jnp.int32) for _ in range(nb)]
 
+    # The activity mask is carried as int32: Mosaic cannot legalize
+    # narrow (rows, 1) i1 vectors through scf.for (measured: the i1
+    # roll_vectors/unroll_vectors pair fails to legalize).
     def p3(t, state):
-        j, active, *marks = state
+        j, act_i, *marks = state
+        active = act_i != 0
         sval = jnp.zeros((rows_per, 1), jnp.int32)
         nm = []
         for b in range(nb):
@@ -361,9 +365,12 @@ def _parse2_kernel(starts_ref, step_ref, mark_ref, ex_ref, *, rows_per, row):
                 jnp.where(eq, sblocks[b], 0), axis=1, keepdims=True
             )
         j = j + sval
-        return (j, active & (j < row), *nm)
+        act_i = jnp.where(active & (j < row), 1, 0)
+        return (j, act_i, *nm)
 
-    out = jax.lax.fori_loop(0, row, p3, (j0, active0, *marks))
+    out = jax.lax.fori_loop(
+        0, row, p3, (j0, active0.astype(jnp.int32), *marks)
+    )
     for b in range(nb):
         mark_ref[0, :, _LANES * b : _LANES * (b + 1)] = out[2 + b]
 
