@@ -5,6 +5,7 @@ import os
 import zlib
 
 import numpy as np
+import pytest
 
 from zzflate_tpu.parallel.multihost import compress_multihost
 from zzflate_tpu.utils import resume
@@ -79,10 +80,13 @@ def test_resume_skips_existing_and_recovers_lost(tmp_path):
     assert zlib.decompress(blob, wbits=31) == data
 
 
-def test_multihost_two_processes(tmp_path):
-    """Real 2-process run (jax.distributed over CPU): the distributed
+@pytest.mark.parametrize("nprocs", [2, 3])
+def test_multihost_processes(tmp_path, nprocs):
+    """Real multi-process runs (jax.distributed over CPU): the distributed
     stream must be byte-identical to the single-process encode of the
-    full corpus with the same chunking (BASELINE.json:11, SURVEY.md 4.6)."""
+    full corpus with the same chunking (BASELINE.json:11, SURVEY.md 4.6).
+    3 processes exercise the uneven host-shard split and the >2-host
+    gather-to-root rounds the round-4 verdict flagged as never run."""
     import socket
     import subprocess
     import sys
@@ -112,11 +116,11 @@ def test_multihost_two_processes(tmp_path):
     env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, coord, "2", str(pid), str(corpus),
-             str(chunk), str(out_file)],
+            [sys.executable, worker, coord, str(nprocs), str(pid),
+             str(corpus), str(chunk), str(out_file)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
         )
-        for pid in range(2)
+        for pid in range(nprocs)
     ]
     for p in procs:
         _, err = p.communicate(timeout=600)

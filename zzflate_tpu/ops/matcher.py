@@ -232,12 +232,18 @@ def find_matches(
     n = data.shape[0]
     pos = jnp.arange(n, dtype=jnp.int32)
     key_bytes = 4 * key_words
-    # The extension ladder below strides by key_bytes blocks and refines
-    # through rank arrays at 16/32/../key_bytes granularity; that chain is
-    # only exact when key_bytes is 16 * 2^k (rank_levels[-1] must sit at
-    # the FULL key depth). Reject configs that would silently mis-extend.
-    if key_bytes >= 16 and (key_bytes & (key_bytes - 1) or key_bytes < 16):
-        raise ValueError(f"key_words*4 must be 16*2^k, got {key_bytes}")
+    # The extension ladder below strides by key_bytes blocks (rank
+    # equality at key_bytes granularity <=> exact block equality) and the
+    # tail refines by direct 16-byte word compares (key_bytes // 16
+    # rounds) — exact for ANY key_bytes multiple of 16. (The former
+    # 16*2^k restriction guarded a 16/32/.. rank ladder that no longer
+    # exists.) 48-byte keys would cut the dominant sort from 17 to 13
+    # operands, but measured ratio (2026-08-21, CPU, stride 32): w12
+    # zlibh_rep 1.0024 / silesia2 0.9994 vs w16's 1.0007 / 0.9985 — the
+    # 48-byte scan cap hurts positions that cannot anchor-propagate, so
+    # L6+ stays at key_words=16.
+    if key_bytes >= 16 and key_bytes % 16:
+        raise ValueError(f"key_words*4 must be a multiple of 16, got {key_bytes}")
     w = _pack_words(data, key_words)
     srank = jnp.arange(n, dtype=jnp.int32)
 
@@ -313,10 +319,17 @@ def find_matches(
     # Anchor stride for the extension ladder/tail: the ~40 strided
     # gathers below run at n/stride width, so doubling the stride halves
     # the matcher's extension cost (~80 ms/4 MiB at stride 16 per the
-    # round-4 attribution). Ratio cost of coarser anchors is measured on
-    # CPU before changing the default (sizes are platform-independent).
-    stride = int(os.environ.get("ZZFLATE_EXT_STRIDE", "16"))
-    use_anchors = key_bytes >= 2 * stride and n % stride == 0
+    # round-4 attribution). Stride 32 measured (2026-08-21, CPU — sizes
+    # are platform-independent): zlib.h x6 L6 1.0004 -> 1.0007,
+    # silesia-2MiB 0.9981 -> 0.9985 vs zlib — +0.03-0.04%, inside every
+    # gate, for half the extension width; default flipped to 32.
+    stride = int(os.environ.get("ZZFLATE_EXT_STRIDE", "32"))
+    # Anchor propagation is exact whenever key_bytes >= stride: a
+    # position p with the NEXT anchor a has a - p <= stride - 1 <
+    # key_bytes, and a full-key match at p (true lcp >= key_bytes)
+    # therefore covers [p, a), so mlen[p] = (a-p) + mlen[a] exactly
+    # when both share a distance.
+    use_anchors = key_bytes >= stride and n % stride == 0
     if use_anchors:
         nq = n // stride
         posx = jnp.arange(nq, dtype=jnp.int32) * stride
