@@ -23,6 +23,7 @@ process_count() == 1; on a real pod slice call initialize() first.
 """
 from __future__ import annotations
 
+import os
 import zlib as _zlib
 
 import numpy as np
@@ -61,6 +62,54 @@ def _allgather_np(arr: np.ndarray) -> np.ndarray:
 
 _PULL_UUID = 0x5A7A0000  # transfer-gather request ids: _PULL_UUID + pid
 
+_TRANSFER_OK: bool | None = None
+
+
+def _transfer_supported() -> bool:
+    """Whether this host's PJRT client supports jax.experimental.transfer
+    self-pulls — probed in a THROWAWAY SUBPROCESS, because a broken
+    transport does not raise, it ABORTS the process (measured on this
+    box's AOT-proxy CPU client: fatal CHECK in
+    aux::LocalBulkTransportFactory::RecvBulkTransport, streaming.cc:193,
+    SIGABRT — an in-process probe would take the whole host down, which
+    is exactly how the 2-process test failed). ZZFLATE_MH_P2P=1 skips
+    the probe (trust the client — e.g. a real pod where a second
+    process cannot attach to the chips); =0 forces the slab fallback."""
+    global _TRANSFER_OK
+    if _TRANSFER_OK is not None:
+        return _TRANSFER_OK
+    env = os.environ.get("ZZFLATE_MH_P2P", "")
+    if env in ("0", "1"):
+        _TRANSFER_OK = env == "1"
+        return _TRANSFER_OK
+    import subprocess
+    import sys
+
+    code = (
+        "import jax, numpy as np, jax.numpy as jnp\n"
+        "from jax.experimental import transfer\n"
+        "from jax.sharding import SingleDeviceSharding\n"
+        "dev = jax.local_devices()[0]\n"
+        "srv = transfer.start_transfer_server(dev.client)\n"
+        "x = jnp.arange(8, dtype=jnp.uint8)\n"
+        "srv.await_pull(7, [x])\n"
+        "got = srv.connect(srv.address()).pull(7, [jax.ShapeDtypeStruct("
+        "(8,), np.uint8, sharding=SingleDeviceSharding(dev))])[0]\n"
+        "assert np.asarray(got).tolist() == list(range(8))\n"
+        "print('TRANSFER-OK')\n"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True,
+            timeout=120,
+        )
+        _TRANSFER_OK = (
+            r.returncode == 0 and b"TRANSFER-OK" in r.stdout
+        )
+    except Exception:
+        _TRANSFER_OK = False
+    return _TRANSFER_OK
+
 
 def _gather_payloads_to_root(
     payload: bytes, metas: np.ndarray, pid: int, nproc: int
@@ -85,26 +134,16 @@ def _gather_payloads_to_root(
 
     srv = arr = None
     ok = 0
-    try:
-        from jax.experimental import transfer
+    if _transfer_supported():
+        try:
+            from jax.experimental import transfer
 
-        dev = jax.local_devices()[0]
-        srv = transfer.start_transfer_server(dev.client)
-        arr = jnp.asarray(np.frombuffer(payload, np.uint8))
-        # Probe the client's async-transfer support with a self-pull of
-        # a tiny array BEFORE committing the fleet to this path.
-        from jax.sharding import SingleDeviceSharding
-
-        probe = jnp.zeros((1,), jnp.uint8)
-        srv.await_pull(_PULL_UUID - 1, [probe])
-        srv.connect(srv.address()).pull(
-            _PULL_UUID - 1,
-            [jax.ShapeDtypeStruct((1,), np.uint8,
-                                  sharding=SingleDeviceSharding(dev))],
-        )
-        ok = 1
-    except Exception:
-        ok = 0
+            dev = jax.local_devices()[0]
+            srv = transfer.start_transfer_server(dev.client)
+            arr = jnp.asarray(np.frombuffer(payload, np.uint8))
+            ok = 1
+        except Exception:
+            ok = 0
 
     addr = (srv.address() if ok else "").encode()[:128]
     a = np.zeros(132, np.uint8)
